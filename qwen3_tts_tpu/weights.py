@@ -1,0 +1,125 @@
+"""Checkpoint loading: HF safetensors -> JAX pytrees.
+
+The reference loads checkpoints with HF `from_pretrained` (safetensors state
+dicts, reference: modeling_qwen3_tts.py:1855-1938).  We read the same files
+directly with `safetensors.numpy` and organize them as nested dicts keyed by
+the torch state-dict path components, so every parameter keeps its checkpoint
+identity and tests can round-trip against torch modules.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def unflatten_state_dict(flat: Dict[str, Any]) -> Dict[str, Any]:
+    """'a.b.0.weight': x  ->  {'a': {'b': {'0': {'weight': x}}}}"""
+    out: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(".")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return out
+
+
+def flatten_state_dict(nested: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in nested.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_state_dict(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def subtree(params: Dict[str, Any], path: str) -> Dict[str, Any]:
+    node = params
+    for p in path.split("."):
+        node = node[p]
+    return node
+
+
+def numeric_children(d: Dict[str, Any]) -> List[Dict[str, Any]]:
+    """Return children with integer-string keys, in numeric order."""
+    keys = sorted((k for k in d.keys() if k.isdigit()), key=int)
+    return [d[k] for k in keys]
+
+
+def stack_layers(layers: Iterable[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack a homogeneous list of per-layer pytrees along a new leading axis
+    (for lax.scan over layers)."""
+    layers = list(layers)
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def from_torch_state_dict(sd, dtype=None) -> Dict[str, Any]:
+    """torch state_dict -> nested dict of jnp arrays (test/import bridge)."""
+    flat = {}
+    for k, v in sd.items():
+        arr = np.asarray(v.detach().cpu().float().numpy() if hasattr(v, "detach") else v)
+        a = jnp.asarray(arr)
+        if dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
+            a = a.astype(dtype)
+        flat[k] = a
+    return unflatten_state_dict(flat)
+
+
+def _load_safetensors_file(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import numpy as st_numpy
+
+    return st_numpy.load_file(path)
+
+
+def load_safetensors_dir(model_dir: str, dtype=None,
+                         key_filter: Optional[str] = None) -> Dict[str, Any]:
+    """Load all *.safetensors in a checkpoint dir into a nested jnp pytree.
+
+    Supports the sharded-index layout (`model.safetensors.index.json`) as well
+    as single-file checkpoints.  `key_filter` is an optional regex applied to
+    state-dict keys.
+    """
+    files: List[str] = []
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        files = sorted({os.path.join(model_dir, v) for v in index["weight_map"].values()})
+    else:
+        files = sorted(
+            os.path.join(model_dir, f) for f in os.listdir(model_dir)
+            if f.endswith(".safetensors")
+        )
+    if not files:
+        raise FileNotFoundError(f"no safetensors files under {model_dir}")
+
+    pat = re.compile(key_filter) if key_filter else None
+    flat: Dict[str, Any] = {}
+    for path in files:
+        for k, v in _load_safetensors_file(path).items():
+            if pat and not pat.search(k):
+                continue
+            a = jnp.asarray(v)
+            if dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
+                a = a.astype(dtype)
+            flat[k] = a
+    return unflatten_state_dict(flat)
+
+
+def cast_floats(tree, dtype):
+    """Cast all floating leaves of a pytree to dtype."""
+    def _cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(_cast, tree)
