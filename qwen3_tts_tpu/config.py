@@ -22,8 +22,22 @@ def _filter_kwargs(cls, d: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in d.items() if k in names}
 
 
-@dataclass(frozen=True)
-class CodePredictorConfig:
+class HashableConfig:
+    """Hash/eq by canonical JSON so configs with dict fields (rope_scaling,
+    speaker maps) can be `jax.jit` static arguments."""
+
+    def _canonical(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True, default=str)
+
+    def __hash__(self) -> int:
+        return hash(self._canonical())
+
+    def __eq__(self, other) -> bool:
+        return type(self) is type(other) and self._canonical() == other._canonical()
+
+
+@dataclass(frozen=True, eq=False)
+class CodePredictorConfig(HashableConfig):
     """Sub-talker (MTP head) config.
 
     Reference: configuration_qwen3_tts.py:70-256 (Qwen3TTSTalkerCodePredictorConfig).
@@ -54,8 +68,8 @@ class CodePredictorConfig:
         return cls(**_filter_kwargs(cls, d))
 
 
-@dataclass(frozen=True)
-class TalkerConfig:
+@dataclass(frozen=True, eq=False)
+class TalkerConfig(HashableConfig):
     """Talker decoder LM config.
 
     Reference: configuration_qwen3_tts.py:259-451 (Qwen3TTSTalkerConfig).
@@ -118,8 +132,8 @@ class TalkerConfig:
         return cls(**_filter_kwargs(cls, d))
 
 
-@dataclass(frozen=True)
-class SpeakerEncoderConfig:
+@dataclass(frozen=True, eq=False)
+class SpeakerEncoderConfig(HashableConfig):
     """ECAPA-TDNN speaker encoder config.
 
     Reference: configuration_qwen3_tts.py:22-67 (Qwen3TTSSpeakerEncoderConfig).
@@ -144,8 +158,8 @@ class SpeakerEncoderConfig:
         return cls(**_filter_kwargs(cls, d))
 
 
-@dataclass(frozen=True)
-class TTSModelConfig:
+@dataclass(frozen=True, eq=False)
+class TTSModelConfig(HashableConfig):
     """Top-level model config (reference: configuration_qwen3_tts.py:454-499)."""
 
     talker_config: TalkerConfig = field(default_factory=TalkerConfig)
@@ -181,8 +195,8 @@ class TTSModelConfig:
 # ---------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
-class MimiEncoderConfig:
+@dataclass(frozen=True, eq=False)
+class MimiEncoderConfig(HashableConfig):
     """Mimi (SEANet + transformer + split-RVQ) encoder config.
 
     Mirrors the fields of `transformers.MimiConfig` that the encoder uses.
@@ -243,8 +257,8 @@ class MimiEncoderConfig:
         return cls(**_filter_kwargs(cls, d))
 
 
-@dataclass(frozen=True)
-class CodecV2DecoderConfig:
+@dataclass(frozen=True, eq=False)
+class CodecV2DecoderConfig(HashableConfig):
     """12 Hz codec decoder / vocoder config.
 
     Reference: configuration_qwen3_tts_tokenizer_v2.py:26-121.
@@ -289,8 +303,8 @@ class CodecV2DecoderConfig:
         return cls(**_filter_kwargs(cls, d))
 
 
-@dataclass(frozen=True)
-class CodecV2Config:
+@dataclass(frozen=True, eq=False)
+class CodecV2Config(HashableConfig):
     """12 Hz tokenizer top config (reference: configuration...v2.py:124-169)."""
 
     encoder_config: MimiEncoderConfig = field(default_factory=MimiEncoderConfig)

@@ -1,0 +1,325 @@
+"""Talker LM + code predictor: TPU-native functional forward with static-shape
+KV caches and lax.scan over stacked layers.
+
+Reference behavior matched (qwen_tts/core/models/modeling_qwen3_tts.py):
+- Qwen3TTSTalkerModel.forward (1427-1561): Qwen3-style decoder layers with
+  GQA + per-head-dim QK-RMSNorm (727-805), SwiGLU MLP, RMSNorm pre-norms,
+  3-axis mrope whose axes are identical for TTS (get_rope_index 1746-1800
+  derives all three from the attention mask), so positions reduce to 1-D.
+- Qwen3TTSTalkerCodePredictorModel (1015-1153): same layer structure, 5
+  layers, per-codebook embedding tables and lm heads (1030-1032, 1167-1169).
+
+TPU-first design decisions (SURVEY.md §7):
+- Layers are stacked along a leading axis and scanned (one compiled layer
+  body instead of 20 unrolled ones).
+- KV caches are preallocated (L, B, S, Hkv, D) buffers written with
+  dynamic_update_slice at the current offset; prefill masks padding with
+  per-slot validity instead of ragged batches.
+- The 15-step nested sub-talker generation is a lax.scan whose whole KV cache
+  (<= 17 positions) lives on-chip for the life of the frame step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CodePredictorConfig, TalkerConfig
+from ..ops.attention import attention, mask_to_bias
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, default_inv_freq, rope_tables
+from ..weights import numeric_children, stack_layers
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class StackDims:
+    """Shape info shared by the talker and code-predictor decoder stacks."""
+
+    hidden: int
+    heads: int
+    kv_heads: int
+    head_dim: int
+    eps: float
+
+    @classmethod
+    def from_talker(cls, cfg: TalkerConfig) -> "StackDims":
+        return cls(cfg.hidden_size, cfg.num_attention_heads,
+                   cfg.num_key_value_heads, cfg.resolved_head_dim,
+                   cfg.rms_norm_eps)
+
+    @classmethod
+    def from_code_predictor(cls, cfg: CodePredictorConfig) -> "StackDims":
+        return cls(cfg.hidden_size, cfg.num_attention_heads,
+                   cfg.num_key_value_heads, cfg.head_dim, cfg.rms_norm_eps)
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, S, Hkv, D)
+    v: jax.Array
+
+    @classmethod
+    def zeros(cls, n_layers: int, batch: int, max_len: int, kv_heads: int,
+              head_dim: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (n_layers, batch, max_len, kv_heads, head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# Parameter preparation
+# ---------------------------------------------------------------------------
+
+
+def _stack_decoder_layers(layers_tree: Params) -> Params:
+    return stack_layers(numeric_children(layers_tree))
+
+
+def prepare_talker_params(params: Params, cfg: TalkerConfig) -> Params:
+    """Reorganize a `talker.*` state-dict subtree for scanning.
+
+    Input: unflattened checkpoint tree at the `talker` prefix
+    (talker.model.layers..., talker.code_predictor...).
+    """
+    model = params["model"]
+    cp = params["code_predictor"]
+    cp_cfg = cfg.code_predictor_config
+
+    out: Params = {
+        "layers": _stack_decoder_layers(model["layers"]),
+        "norm": model["norm"],
+        "codec_embedding": model["codec_embedding"]["weight"],
+        "text_embedding": model["text_embedding"]["weight"],
+        "text_projection": params["text_projection"],
+        "codec_head": params["codec_head"]["weight"],
+    }
+    cp_out: Params = {
+        "layers": _stack_decoder_layers(cp["model"]["layers"]),
+        "norm": cp["model"]["norm"],
+        # (Q-1, cp_vocab, talker_hidden)
+        "embeddings": jnp.stack(
+            [t["weight"] for t in numeric_children(cp["model"]["codec_embedding"])],
+            axis=0),
+        # (Q-1, cp_vocab, cp_hidden)
+        "lm_heads": jnp.stack(
+            [t["weight"] for t in numeric_children(cp["lm_head"])], axis=0),
+    }
+    if cp_cfg.hidden_size != cfg.hidden_size:
+        cp_out["proj"] = cp["small_to_mtp_projection"]
+    else:
+        cp_out["proj"] = None
+    out["code_predictor"] = cp_out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Decoder stack (shared by talker / code predictor)
+# ---------------------------------------------------------------------------
+
+
+def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
+                  cos: jax.Array, sin: jax.Array, mask_bias: jax.Array,
+                  cache: KVCache, offset) -> Tuple[jax.Array, KVCache]:
+    """Run all layers. h: (B, T, hidden); mask_bias: (B, 1, T, S) additive.
+
+    Writes new K/V at [offset, offset+T) and attends over the full cache
+    buffer (invalid slots masked by mask_bias).
+    """
+    B, T, _ = h.shape
+
+    def body(carry, xs):
+        hh = carry
+        lp, kc, vc = xs
+        attn = lp["self_attn"]
+        x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
+        q = (x @ attn["q_proj"]["weight"].T.astype(x.dtype)).reshape(
+            B, T, dims.heads, dims.head_dim)
+        k = (x @ attn["k_proj"]["weight"].T.astype(x.dtype)).reshape(
+            B, T, dims.kv_heads, dims.head_dim)
+        v = (x @ attn["v_proj"]["weight"].T.astype(x.dtype)).reshape(
+            B, T, dims.kv_heads, dims.head_dim)
+        q = rms_norm(q, attn["q_norm"]["weight"], dims.eps)
+        k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
+        q, k = apply_rope(q, k, cos, sin)
+
+        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, offset, 0, 0))
+        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, offset, 0, 0))
+
+        o = attention(q, kc.astype(x.dtype), vc.astype(x.dtype), mask_bias)
+        o = o.reshape(B, T, dims.heads * dims.head_dim) @ attn["o_proj"]["weight"].T.astype(x.dtype)
+        hh = hh + o
+
+        x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
+        mlp = lp["mlp"]
+        gate = jax.nn.silu(x @ mlp["gate_proj"]["weight"].T.astype(x.dtype))
+        up = x @ mlp["up_proj"]["weight"].T.astype(x.dtype)
+        hh = hh + (gate * up) @ mlp["down_proj"]["weight"].T.astype(x.dtype)
+        return hh, (kc, vc)
+
+    h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v))
+    h = rms_norm(h, norm["weight"], dims.eps)
+    return h, KVCache(k_new, v_new)
+
+
+def _positions_bias(positions: jax.Array, kv_positions: jax.Array,
+                    kv_valid: jax.Array) -> jax.Array:
+    """(B,T) q positions + (B,S) kv positions/validity -> (B,1,T,S) bias."""
+    ok = (kv_positions[:, None, :] <= positions[:, :, None]) & kv_valid[:, None, :]
+    return mask_to_bias(ok[:, None])
+
+
+# ---------------------------------------------------------------------------
+# Talker forward passes
+# ---------------------------------------------------------------------------
+
+
+def text_project(params: Params, cfg: TalkerConfig, x: jax.Array) -> jax.Array:
+    """text_projection resize MLP (reference: Qwen3TTSTalkerResizeMLP 808-816,
+    act from config.hidden_act — silu)."""
+    tp = params["text_projection"]
+    h = x @ tp["linear_fc1"]["weight"].T.astype(x.dtype) + tp["linear_fc1"]["bias"].astype(x.dtype)
+    h = jax.nn.silu(h)
+    return h @ tp["linear_fc2"]["weight"].T.astype(x.dtype) + tp["linear_fc2"]["bias"].astype(x.dtype)
+
+
+def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
+                   attn_mask: jax.Array, cache: KVCache
+                   ) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """Prefill the talker. inputs_embeds: (B, T, H) left-padded; attn_mask:
+    (B, T) 1 = real token.  Returns (logits_last (B, V), last_hidden (B,1,H),
+    cache)."""
+    B, T, _ = inputs_embeds.shape
+    S = cache.k.shape[2]
+    dims = StackDims.from_talker(cfg)
+
+    # mrope with identical axes == 1-D rope on mask-cumsum positions
+    positions = jnp.cumsum(attn_mask, axis=-1) - 1
+    positions = jnp.where(attn_mask == 0, 1, positions)
+
+    kv_positions = jnp.full((B, S), jnp.iinfo(jnp.int32).max, jnp.int32)
+    kv_positions = jax.lax.dynamic_update_slice(kv_positions, positions.astype(jnp.int32), (0, 0))
+    kv_valid = jnp.zeros((B, S), bool)
+    kv_valid = jax.lax.dynamic_update_slice(kv_valid, attn_mask.astype(bool), (0, 0))
+    # padding inside the prefill has position 1 which would break the <=
+    # comparison; use slot indices for causality instead of positions.
+    slot = jnp.arange(S)[None, :]
+    qslot = jnp.arange(T)[None, :]
+    ok = (slot <= qslot[:, :, None]) & kv_valid[:, None, :]
+    bias = mask_to_bias(ok[:, None])
+
+    inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, inv_freq)
+
+    h, cache = decoder_stack(params["layers"], params["norm"], dims,
+                             inputs_embeds, cos, sin, bias, cache, 0)
+    last_hidden = h[:, -1:, :]
+    logits = (last_hidden[:, 0].astype(jnp.float32)
+              @ params["codec_head"].T.astype(jnp.float32))
+    return logits, last_hidden, cache
+
+
+def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
+                       position: jax.Array, cache_index, kv_valid: jax.Array,
+                       cache: KVCache) -> Tuple[jax.Array, jax.Array, KVCache]:
+    """One decode step. embed: (B, 1, H); position: (B,) rope position;
+    cache_index: scalar slot to write; kv_valid: (B, S) valid slots incl. the
+    new one.  Returns (logits (B, V), hidden (B,1,H), cache)."""
+    B = embed.shape[0]
+    S = cache.k.shape[2]
+    dims = StackDims.from_talker(cfg)
+
+    slot = jnp.arange(S)[None, :]
+    ok = (slot <= cache_index) & kv_valid
+    bias = mask_to_bias(ok[:, None, None, :])
+
+    inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(position[:, None], inv_freq)
+
+    h, cache = decoder_stack(params["layers"], params["norm"], dims, embed,
+                             cos, sin, bias, cache, cache_index)
+    logits = (h[:, 0].astype(jnp.float32)
+              @ params["codec_head"].T.astype(jnp.float32))
+    return logits, h, cache
+
+
+# ---------------------------------------------------------------------------
+# Code predictor (sub-talker): one frame = prefill(2) + scan of Q-2 steps
+# ---------------------------------------------------------------------------
+
+
+def _cp_project(cp: Params, x: jax.Array) -> jax.Array:
+    proj = cp["proj"]
+    if proj is None:
+        return x
+    return x @ proj["weight"].T.astype(x.dtype) + proj["bias"].astype(x.dtype)
+
+
+def code_predictor_frame(params: Params, cfg: TalkerConfig,
+                         past_hidden: jax.Array, code0_embed: jax.Array,
+                         key: jax.Array, sampling) -> Tuple[jax.Array, jax.Array]:
+    """Generate codebooks 1..Q-1 for one frame.
+
+    past_hidden/code0_embed: (B, 1, talker_hidden).  Returns
+    (codes (B, Q-1) int32, frame_embed_sum (B, 1, talker_hidden) — the sum of
+    the Q-1 sub-code embeddings in talker space).
+
+    Mirrors the nested `code_predictor.generate` call
+    (modeling_qwen3_tts.py:1671-1687) as prefill over 2 positions + a
+    lax.scan of Q-2 single-position steps with per-step head/table selection
+    (reference per-step indexing at 1277-1299).
+    """
+    from ..ops.sampling import process_and_sample
+
+    cp_cfg = cfg.code_predictor_config
+    cp = params["code_predictor"]
+    dims = StackDims.from_code_predictor(cp_cfg)
+    B = past_hidden.shape[0]
+    Qm1 = cfg.num_code_groups - 1
+    S = Qm1 + 2  # max sub-sequence length (hidden, code0, codes 1..Q-2)
+
+    cache = KVCache.zeros(cp_cfg.num_hidden_layers, B, S, dims.kv_heads,
+                          dims.head_dim, dtype=past_hidden.dtype)
+    inv_freq = default_inv_freq(dims.head_dim, cp_cfg.rope_theta)
+
+    # ---- prefill: positions 0,1 ----
+    pre = _cp_project(cp, jnp.concatenate([past_hidden, code0_embed], axis=1))
+    pos = jnp.arange(2)[None, :]
+    cos, sin = rope_tables(jnp.broadcast_to(pos, (B, 2)), inv_freq)
+    ok = jnp.arange(S)[None, :] <= jnp.arange(2)[:, None]  # (2, S) causal
+    bias = jnp.broadcast_to(mask_to_bias(ok)[None, None], (B, 1, 2, S))
+    h, cache = decoder_stack(cp["layers"], cp["norm"], dims, pre, cos, sin,
+                             bias, cache, 0)
+    logits0 = (h[:, -1].astype(jnp.float32)
+               @ cp["lm_heads"][0].T.astype(jnp.float32))
+    key, sub = jax.random.split(key)
+    code = process_and_sample(logits0, sub, sampling)  # codebook 1
+
+    emb_sum = jnp.take(cp["embeddings"][0], code, axis=0)[:, None, :].astype(past_hidden.dtype)
+
+    def body(carry, step):
+        cache, prev_code, emb_sum, key = carry
+        # embed prev code with table[step-1], predict with head[step]
+        table = jnp.take(cp["embeddings"], step - 1, axis=0)
+        raw = jnp.take(table, prev_code, axis=0)[:, None, :].astype(past_hidden.dtype)
+        x = _cp_project(cp, raw)
+        position = jnp.full((B, 1), step + 1)
+        cos, sin = rope_tables(position, inv_freq)
+        bias = jnp.broadcast_to(mask_to_bias((jnp.arange(S) <= step + 1)[None, None, None, :]),
+                                (B, 1, 1, S))
+        h, cache = decoder_stack(cp["layers"], cp["norm"], dims, x, cos, sin,
+                                 bias, cache, step + 1)
+        logits = (h[:, 0].astype(jnp.float32)
+                  @ jnp.take(cp["lm_heads"], step, axis=0).T.astype(jnp.float32))
+        key, sub = jax.random.split(key)
+        nxt = process_and_sample(logits, sub, sampling)
+        emb_sum = emb_sum + jnp.take(cp["embeddings"], step, axis=0)[nxt][:, None, :].astype(past_hidden.dtype)
+        return (cache, nxt, emb_sum, key), prev_code
+
+    steps = jnp.arange(1, Qm1)
+    (cache, last_code, emb_sum, key), prev_codes = jax.lax.scan(
+        body, (cache, code, emb_sum, key), steps)
+    codes = jnp.concatenate([prev_codes.T, last_code[:, None]], axis=1)  # (B, Q-1)
+    return codes, emb_sum

@@ -1,0 +1,92 @@
+"""Token sampling with HF-generate-compatible semantics, fully jittable.
+
+Matches the logits-processing pipeline the reference relies on
+(HF GenerationMixin as driven by modeling_qwen3_tts.py:2021-2066):
+  1. repetition penalty over previously generated ids (presence-based),
+  2. suppress-tokens masking (talker bans the top-1024 control range except
+     codec EOS, reference lines 2059-2063),
+  3. min-new-tokens EOS ban (min_new_tokens=2, line 2046),
+  4. temperature -> top-k -> top-p warpers,
+  5. categorical sample (or argmax when do_sample=False).
+
+All steps are static-shape; `top_k`/`top_p` inactive values (k<=0, p>=1)
+compile to no-ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    do_sample: bool = True
+    top_k: int = 50
+    top_p: float = 1.0
+    temperature: float = 0.9
+    repetition_penalty: float = 1.05
+
+
+def apply_repetition_penalty(logits: jax.Array, presence: jax.Array,
+                             penalty: float) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor: for ids present in the history,
+    score>0 -> score/p, score<0 -> score*p.  presence: (B, V) bool."""
+    if penalty == 1.0:
+        return logits
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence, penalized, logits)
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
+    """HF TopPLogitsWarper (keeps at least 1 token)."""
+    if p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # tokens with cumulative prob (exclusive of self) >= p are removed
+    keep_sorted = (cum - probs) < p
+    # threshold logit = smallest kept logit
+    kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
+                  keepdims=True)
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def process_and_sample(logits: jax.Array, key: jax.Array,
+                       params: SamplingParams,
+                       presence: Optional[jax.Array] = None,
+                       suppress_mask: Optional[jax.Array] = None,
+                       ban_eos: Optional[jax.Array] = None,
+                       eos_id: Optional[int] = None) -> jax.Array:
+    """logits: (B, V) fp32 -> sampled ids (B,) int32.
+
+    `suppress_mask`: (V,) bool — True = always banned.
+    `ban_eos`: (B,) bool — True = EOS currently banned (min_new_tokens).
+    """
+    logits = logits.astype(jnp.float32)
+    if presence is not None:
+        logits = apply_repetition_penalty(logits, presence, params.repetition_penalty)
+    if suppress_mask is not None:
+        logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
+    if ban_eos is not None and eos_id is not None:
+        eos_col = jnp.zeros(logits.shape[-1], dtype=bool).at[eos_id].set(True)
+        logits = jnp.where(ban_eos[:, None] & eos_col[None, :], NEG_INF, logits)
+    if not params.do_sample:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / params.temperature
+    logits = apply_top_k(logits, params.top_k)
+    logits = apply_top_p(logits, params.top_p)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
