@@ -1,0 +1,192 @@
+"""Prompt / prefill assembly for the talker.
+
+Rebuilds the reference's per-sample prefill layout
+(modeling_qwen3_tts.py:2068-2234 and generate_icl_prompt 1968-2019):
+
+  [instruct text embeds]                      (optional, projected)
+  [<|im_start|>assistant\\n role embeds]      (3 text tokens, projected)
+  [tts_pad * (n-2) .. tts_bos] + codec[think block (+speaker) pad]  (summed)
+  then one of:
+    streaming:      [first text token + codec_bos]; trailing = rest + tts_eos
+    non-streaming:  [text.. + tts_eos over codec_pad; tts_pad + codec_bos];
+                    trailing = tts_pad
+    ICL (clone):    [ref+text text embeds (+eos) aligned against codec_bos +
+                    summed ref codec frames]; trailing per stream mode
+
+Assembly runs eagerly (host-driven, once per request); all heavy math stays
+in the jitted decode loop.  Outputs are left-padded batches + masks, matching
+the reference's left-pad batching (2239-2269).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TalkerConfig, TTSModelConfig
+from ..models.talker import text_project
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class PromptSpec:
+    """One sample's prompt inputs (token ids are 1-D numpy arrays)."""
+
+    input_id: np.ndarray                       # tokenized assistant text
+    language_id: Optional[int] = None          # codec language id or None (auto)
+    speaker_embed: Optional[jax.Array] = None  # (H,) codec-space speaker vec
+    instruct_id: Optional[np.ndarray] = None   # tokenized instruct block
+    ref_id: Optional[np.ndarray] = None        # tokenized ref text (ICL)
+    ref_code: Optional[np.ndarray] = None      # (T, Q) reference codec codes
+    non_streaming: bool = False
+
+
+def _embed_text(params: Params, cfg: TalkerConfig, ids: jax.Array) -> jax.Array:
+    """text ids -> projected talker-space embeddings (1, L, H)."""
+    raw = jnp.take(params["text_embedding"], ids.reshape(-1), axis=0)[None]
+    return text_project(params, cfg, raw)
+
+
+def _embed_codec(params: Params, ids) -> jax.Array:
+    ids = jnp.asarray(ids).reshape(-1)
+    return jnp.take(params["codec_embedding"], ids, axis=0)[None]
+
+
+def _special_text_embeds(params: Params, cfg: TalkerConfig,
+                         model_cfg: TTSModelConfig):
+    ids = jnp.array([model_cfg.tts_bos_token_id, model_cfg.tts_eos_token_id,
+                     model_cfg.tts_pad_token_id])
+    e = _embed_text(params, cfg, ids)
+    return e[:, 0:1], e[:, 1:2], e[:, 2:3]  # bos, eos, pad
+
+
+def _frame_codec_embed(params: Params, cfg: TalkerConfig,
+                       ref_code: jax.Array) -> jax.Array:
+    """Sum the per-codebook embeddings of reference frames.
+
+    ref_code: (T, Q) -> (1, T, H).  Codebook 0 uses the talker table, 1..Q-1
+    the code-predictor tables (reference 1984-1989).
+    """
+    cp_tables = params["code_predictor"]["embeddings"]  # (Q-1, V, H)
+    out = jnp.take(params["codec_embedding"], ref_code[:, 0], axis=0)
+    for i in range(1, cfg.num_code_groups):
+        out = out + jnp.take(cp_tables[i - 1], ref_code[:, i], axis=0)
+    return out[None]
+
+
+def build_prompt(params: Params, cfg: TalkerConfig, model_cfg: TTSModelConfig,
+                 spec: PromptSpec) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Assemble one sample's prefill.
+
+    Returns (input_embed (1, L, H), trailing_text (1, Tt, H),
+    tts_pad_embed (1, 1, H)).
+    """
+    tts_bos, tts_eos, tts_pad = _special_text_embeds(params, cfg, model_cfg)
+    input_id = jnp.asarray(spec.input_id).reshape(1, -1)
+
+    parts: List[jax.Array] = []
+    if spec.instruct_id is not None:
+        parts.append(_embed_text(params, cfg, jnp.asarray(spec.instruct_id)))
+
+    # think/language block (reference 2134-2147)
+    if spec.language_id is None:
+        codec_prefill = [cfg.codec_nothink_id, cfg.codec_think_bos_id,
+                         cfg.codec_think_eos_id]
+    else:
+        codec_prefill = [cfg.codec_think_id, cfg.codec_think_bos_id,
+                         int(spec.language_id), cfg.codec_think_eos_id]
+    codec_emb_0 = _embed_codec(params, codec_prefill)
+    codec_emb_1 = _embed_codec(params, [cfg.codec_pad_id, cfg.codec_bos_id])
+    if spec.speaker_embed is None:
+        codec_embed = jnp.concatenate([codec_emb_0, codec_emb_1], axis=1)
+    else:
+        spk = jnp.asarray(spec.speaker_embed).reshape(1, 1, -1).astype(codec_emb_0.dtype)
+        codec_embed = jnp.concatenate([codec_emb_0, spk, codec_emb_1], axis=1)
+
+    # role: "<|im_start|>assistant\n" (first 3 tokens)
+    role_embed = _embed_text(params, cfg, input_id[:, :3])
+
+    n = codec_embed.shape[1]
+    text_track = jnp.concatenate(
+        [jnp.broadcast_to(tts_pad, (1, n - 2, tts_pad.shape[-1])), tts_bos],
+        axis=1)
+    merged = text_track + codec_embed[:, :-1]
+    prompt = jnp.concatenate([role_embed, merged], axis=1)
+
+    if spec.ref_code is not None:
+        # ICL voice-clone block (generate_icl_prompt, reference 1968-2019)
+        ref_id = jnp.asarray(spec.ref_id).reshape(1, -1)
+        text_embed = _embed_text(
+            params, cfg,
+            jnp.concatenate([ref_id[:, 3:-2], input_id[:, 3:-5]], axis=1))
+        text_embed = jnp.concatenate([text_embed, tts_eos], axis=1)
+        ref_code = jnp.asarray(spec.ref_code)
+        codec_frames = _frame_codec_embed(params, cfg, ref_code)
+        codec_icl = jnp.concatenate(
+            [_embed_codec(params, [cfg.codec_bos_id]), codec_frames], axis=1)
+        t_len, c_len = text_embed.shape[1], codec_icl.shape[1]
+        if spec.non_streaming:
+            pad_ids = jnp.full((t_len,), cfg.codec_pad_id)
+            icl = text_embed + _embed_codec(params, pad_ids)
+            icl = jnp.concatenate([icl, codec_icl + tts_pad], axis=1)
+            trailing = tts_pad
+        else:
+            if t_len > c_len:
+                icl = text_embed[:, :c_len] + codec_icl
+                trailing = text_embed[:, c_len:]
+            else:
+                text_embed = jnp.concatenate(
+                    [text_embed] +
+                    [tts_pad] * (c_len - t_len), axis=1)
+                icl = text_embed + codec_icl
+                trailing = tts_pad
+        prompt = jnp.concatenate([prompt, icl], axis=1)
+    else:
+        first_tok = _embed_text(params, cfg, input_id[:, 3:4]) + codec_embed[:, -1:]
+        prompt = jnp.concatenate([prompt, first_tok], axis=1)
+        if spec.non_streaming:
+            prompt = prompt[:, :-1]
+            body = jnp.concatenate(
+                [_embed_text(params, cfg, input_id[:, 3:-5]), tts_eos], axis=1)
+            pad_ids = jnp.full((body.shape[1],), cfg.codec_pad_id)
+            body = body + _embed_codec(params, pad_ids)
+            tail = tts_pad + _embed_codec(params, [cfg.codec_bos_id])
+            prompt = jnp.concatenate([prompt, body, tail], axis=1)
+            trailing = tts_pad
+        else:
+            trailing = jnp.concatenate(
+                [_embed_text(params, cfg, input_id[:, 4:-5]), tts_eos], axis=1)
+
+    return prompt, trailing, tts_pad
+
+
+def batch_prompts(prompts: Sequence[Tuple[jax.Array, jax.Array, jax.Array]]
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Left-pad a list of (prompt, trailing, pad) into batch tensors.
+
+    Returns (inputs_embeds (B, L, H), attn_mask (B, L), trailing (B, Tt, H),
+    tts_pad_embed (1, 1, H)).  Trailing hiddens are right-padded with the pad
+    embedding (reference 2255-2269).
+    """
+    embeds = [p[0] for p in prompts]
+    trailings = [p[1] for p in prompts]
+    tts_pad = prompts[0][2]
+    H = embeds[0].shape[-1]
+    L = max(e.shape[1] for e in embeds)
+    Tt = max(t.shape[1] for t in trailings)
+    B = len(prompts)
+
+    batch = jnp.zeros((B, L, H), embeds[0].dtype)
+    mask = np.zeros((B, L), np.int32)
+    trail = jnp.broadcast_to(tts_pad, (B, Tt, H)).astype(embeds[0].dtype)
+    for i, (e, t) in enumerate(zip(embeds, trailings)):
+        li, ti = e.shape[1], t.shape[1]
+        batch = batch.at[i, L - li:].set(e[0])
+        mask[i, L - li:] = 1
+        trail = trail.at[i, :ti].set(t[0])
+    return batch, jnp.asarray(mask), trail, tts_pad
