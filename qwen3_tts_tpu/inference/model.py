@@ -1,0 +1,423 @@
+"""Qwen3TTSModel — the user-facing TTS API, mirroring the reference
+`qwen_tts.Qwen3TTSModel` surface (qwen_tts/inference/qwen3_tts_model.py):
+
+    model = Qwen3TTSModel.from_pretrained(ckpt_dir)
+    wavs, sr = model.generate_custom_voice(text=..., speaker=..., language=...)
+    wavs, sr = model.generate_voice_design(text=..., instruct=...)
+    items    = model.create_voice_clone_prompt(ref_audio=..., ref_text=...)
+    wavs, sr = model.generate_voice_clone(text=..., voice_clone_prompt=items)
+
+TPU execution model: prompts assemble host-side once per request
+(runtime/prompts.py), the whole decode loop runs as one jitted program
+(runtime/generate.py), and the vocoder decodes chunked (inference/tokenizer).
+Prefill lengths/batch are bucketed so repeated calls hit the jit cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TTSModelConfig, load_config
+from ..models.speaker_encoder import extract_speaker_embedding
+from ..models.talker import prepare_talker_params
+from ..ops.sampling import SamplingParams
+from ..runtime.generate import GenerationConfig, generate_frames
+from ..runtime.prompts import PromptSpec, batch_prompts, build_prompt
+from ..utils.audio import AudioLike, load_audio, resample, to_mono
+from ..weights import load_safetensors_dir
+from .tokenizer import Qwen3TTSTokenizer
+
+MaybeList = Union[Any, List[Any]]
+
+
+@dataclass
+class VoiceClonePromptItem:
+    """One sample's voice-clone prompt (mirrors reference
+    VoiceClonePromptItem, qwen3_tts_model.py:40-52)."""
+
+    ref_code: Optional[np.ndarray]       # (T, Q) or None (x-vector only)
+    ref_spk_embedding: np.ndarray        # (D,)
+    x_vector_only_mode: bool
+    icl_mode: bool
+    ref_text: Optional[str] = None
+
+
+class Qwen3TTSModel:
+    def __init__(self, config: TTSModelConfig, talker_params,
+                 speaker_encoder_params=None, speech_tokenizer=None,
+                 processor=None, generate_defaults: Optional[Dict] = None):
+        self.config = config
+        self.talker_params = talker_params
+        self.speaker_encoder_params = speaker_encoder_params
+        self.speech_tokenizer = speech_tokenizer
+        self.processor = processor
+        self.generate_defaults = generate_defaults or {}
+
+        tc = config.talker_config
+        self.supported_speakers = list((tc.spk_id or {}).keys())
+        self.supported_languages = ["auto"] + [
+            k for k in (tc.codec_language_id or {}) if "dialect" not in k]
+        self.tts_model_type = config.tts_model_type
+        self.tts_model_size = config.tts_model_size
+        self.tokenizer_type = config.tokenizer_type
+        self.speaker_encoder_sample_rate = config.speaker_encoder_config.sample_rate
+
+    # ------------------------------------------------------------------
+    # Loading
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
+                        **kwargs) -> "Qwen3TTSModel":
+        """Load from a reference-format checkpoint directory (config.json +
+        safetensors + speech_tokenizer/ subdir + generation_config.json).
+
+        Reference: Qwen3TTSForConditionalGeneration.from_pretrained
+        (modeling_qwen3_tts.py:1855-1938) minus hub downloads — local dirs
+        (or pre-synced HF caches) only.
+        """
+        config = load_config(model_dir)
+        if not isinstance(config, TTSModelConfig):
+            raise ValueError(f"{model_dir} is not a qwen3_tts checkpoint")
+        tree = load_safetensors_dir(model_dir, dtype=dtype)
+        talker_params = prepare_talker_params(tree["talker"],
+                                              config.talker_config)
+        spk_params = tree.get("speaker_encoder")
+
+        tok_dir = os.path.join(model_dir, "speech_tokenizer")
+        speech_tokenizer = None
+        if os.path.isdir(tok_dir):
+            speech_tokenizer = Qwen3TTSTokenizer.from_pretrained(
+                tok_dir, dtype=jnp.float32)
+
+        processor = None
+        try:
+            from transformers import AutoTokenizer
+
+            processor = AutoTokenizer.from_pretrained(model_dir)
+        except Exception:
+            pass
+
+        gen_defaults = {}
+        gc_path = os.path.join(model_dir, "generation_config.json")
+        if os.path.exists(gc_path):
+            with open(gc_path, "r", encoding="utf-8") as f:
+                gen_defaults = json.load(f)
+
+        return cls(config, talker_params, spk_params, speech_tokenizer,
+                   processor, gen_defaults)
+
+    # ------------------------------------------------------------------
+    # Helpers
+    # ------------------------------------------------------------------
+
+    def _ensure_list(self, x: MaybeList) -> List[Any]:
+        return x if isinstance(x, list) else [x]
+
+    def _build_assistant_text(self, text: str) -> str:
+        return f"<|im_start|>assistant\n{text}<|im_end|>\n<|im_start|>assistant\n"
+
+    def _build_ref_text(self, text: str) -> str:
+        return f"<|im_start|>assistant\n{text}<|im_end|>\n"
+
+    def _build_instruct_text(self, instruct: str) -> str:
+        return f"<|im_start|>user\n{instruct}<|im_end|>\n"
+
+    def _tokenize(self, text: str) -> np.ndarray:
+        if self.processor is None:
+            raise RuntimeError("no text tokenizer loaded")
+        ids = self.processor(text, return_tensors="np")["input_ids"]
+        return np.asarray(ids).reshape(-1)
+
+    def _validate_languages(self, languages: List[str]) -> None:
+        supported = {s.lower() for s in self.supported_languages}
+        bad = [l for l in languages
+               if l is None or str(l).lower() not in supported]
+        if bad:
+            raise ValueError(
+                f"Unsupported languages: {bad}. Supported: {sorted(supported)}")
+
+    def _validate_speakers(self, speakers: List[Optional[str]]) -> None:
+        supported = {s.lower() for s in self.supported_speakers}
+        bad = [s for s in speakers
+               if s not in (None, "") and str(s).lower() not in supported]
+        if bad:
+            raise ValueError(
+                f"Unsupported speakers: {bad}. Supported: {sorted(supported)}")
+
+    def _language_id(self, language: str, speaker: Optional[str]) -> Optional[int]:
+        """Language/dialect resolution (reference 2110-2122)."""
+        tc = self.config.talker_config
+        lang = (language or "auto").lower()
+        lang_map = tc.codec_language_id or {}
+        language_id = None if lang == "auto" else lang_map[lang]
+        if (lang in ("chinese", "auto") and speaker
+                and (tc.spk_is_dialect or {}).get(speaker.lower(), False)):
+            dialect = tc.spk_is_dialect[speaker.lower()]
+            language_id = lang_map[dialect]
+        return language_id
+
+    def _merge_generate_kwargs(self, **kwargs) -> Dict[str, Any]:
+        """user > generation_config.json > hard defaults
+        (reference qwen3_tts_model.py:287-352)."""
+        hard = dict(do_sample=True, top_k=50, top_p=1.0, temperature=0.9,
+                    repetition_penalty=1.05, subtalker_dosample=True,
+                    subtalker_top_k=50, subtalker_top_p=1.0,
+                    subtalker_temperature=0.9, max_new_tokens=2048)
+        merged = {}
+        for name, default in hard.items():
+            user_val = kwargs.pop(name, None)
+            if user_val is not None:
+                merged[name] = user_val
+            elif name in self.generate_defaults:
+                merged[name] = self.generate_defaults[name]
+            else:
+                merged[name] = default
+        merged.update(kwargs)
+        return merged
+
+    def _generation_config(self, kw: Dict[str, Any]) -> GenerationConfig:
+        return GenerationConfig(
+            max_new_tokens=int(kw["max_new_tokens"]),
+            sampling=SamplingParams(
+                do_sample=bool(kw["do_sample"]), top_k=int(kw["top_k"]),
+                top_p=float(kw["top_p"]), temperature=float(kw["temperature"]),
+                repetition_penalty=float(kw["repetition_penalty"])),
+            subtalker=SamplingParams(
+                do_sample=bool(kw["subtalker_dosample"]),
+                top_k=int(kw["subtalker_top_k"]),
+                top_p=float(kw["subtalker_top_p"]),
+                temperature=float(kw["subtalker_temperature"]),
+                repetition_penalty=1.0),
+        )
+
+    def _run(self, specs: List[PromptSpec], gen_cfg: GenerationConfig,
+             seed: Optional[int] = None) -> List[np.ndarray]:
+        tc = self.config.talker_config
+        prompts = [build_prompt(self.talker_params, tc, self.config, s)
+                   for s in specs]
+        embeds, mask, trailing, pad = batch_prompts(prompts, bucket=32)
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None
+                                 else seed)
+        out = generate_frames(self.talker_params, tc, gen_cfg, embeds, mask,
+                              trailing, pad, key)
+        codes = np.asarray(out.codes)
+        lens = np.asarray(out.lengths)
+        return [codes[b, :lens[b]] for b in range(len(specs))]
+
+    def get_supported_speakers(self) -> List[str]:
+        return sorted(s.lower() for s in self.supported_speakers)
+
+    def get_supported_languages(self) -> List[str]:
+        return sorted(s.lower() for s in self.supported_languages)
+
+    # ------------------------------------------------------------------
+    # Speaker embedding / voice-clone prompt
+    # ------------------------------------------------------------------
+
+    def extract_speaker_embedding(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        assert sr == 24000, "Only support 24kHz audio"
+        if self.speaker_encoder_params is None:
+            raise RuntimeError("this checkpoint has no speaker encoder")
+        emb = extract_speaker_embedding(
+            self.speaker_encoder_params,
+            self.config.speaker_encoder_config, jnp.asarray(audio))
+        return np.asarray(emb)
+
+    def create_voice_clone_prompt(
+            self, ref_audio: Union[AudioLike, List[AudioLike]],
+            ref_text: Optional[Union[str, List[Optional[str]]]] = None,
+            x_vector_only_mode: Union[bool, List[bool]] = False,
+    ) -> List[VoiceClonePromptItem]:
+        """Reference: qwen3_tts_model.py:355-458."""
+        if self.tts_model_type != "base":
+            raise ValueError(
+                f"model type {self.tts_model_type} does not support "
+                "create_voice_clone_prompt")
+        ref_audio_list = self._ensure_list(ref_audio)
+        n = len(ref_audio_list)
+        ref_text_list = ref_text if isinstance(ref_text, list) else [ref_text] * n
+        xvec_list = (x_vector_only_mode if isinstance(x_vector_only_mode, list)
+                     else [x_vector_only_mode] * n)
+        if len(ref_text_list) != n or len(xvec_list) != n:
+            raise ValueError("Batch size mismatch in voice clone prompt inputs")
+
+        normalized = [load_audio(a) if isinstance(a, str) else
+                      ((to_mono(a[0]), int(a[1])) if isinstance(a, tuple)
+                       else (_raise_np(a)))
+                      for a in ref_audio_list]
+
+        enc = self.speech_tokenizer.encode(
+            [(w, s) for (w, s) in normalized])
+        ref_codes = enc.audio_codes
+
+        items = []
+        for i, ((wav, sr), code, rtext, xvec) in enumerate(
+                zip(normalized, ref_codes, ref_text_list, xvec_list)):
+            if not xvec and not rtext:
+                raise ValueError(
+                    f"ref_text is required when x_vector_only_mode=False "
+                    f"(ICL mode). Bad index={i}")
+            wav24 = resample(wav, sr, self.speaker_encoder_sample_rate)
+            spk = self.extract_speaker_embedding(wav24, self.speaker_encoder_sample_rate)
+            items.append(VoiceClonePromptItem(
+                ref_code=None if xvec else np.asarray(code),
+                ref_spk_embedding=spk,
+                x_vector_only_mode=bool(xvec),
+                icl_mode=bool(not xvec),
+                ref_text=rtext))
+        return items
+
+    # ------------------------------------------------------------------
+    # Generation APIs
+    # ------------------------------------------------------------------
+
+    def generate_custom_voice(self, text, speaker, language=None,
+                              instruct=None, non_streaming_mode: bool = True,
+                              seed: Optional[int] = None, **kwargs):
+        """Reference: qwen3_tts_model.py:731-839."""
+        if self.tts_model_type != "custom_voice":
+            raise ValueError(
+                f"model type {self.tts_model_type} does not support "
+                "generate_custom_voice")
+        texts = self._ensure_list(text)
+        n = len(texts)
+        languages = self._broadcast(language, n, default="Auto")
+        speakers = self._broadcast(speaker, n)
+        if self.tts_model_size == "0b6":  # 0.6B: instruct unsupported
+            instruct = None
+        instructs = self._broadcast(instruct, n, default="")
+        self._validate_languages(languages)
+        self._validate_speakers(speakers)
+
+        tc = self.config.talker_config
+        specs = []
+        for t, spk, lang, ins in zip(texts, speakers, languages, instructs):
+            spk_embed = None
+            if spk:
+                spk_id = tc.spk_id[spk.lower()]
+                spk_embed = self.talker_params["codec_embedding"][spk_id]
+            specs.append(PromptSpec(
+                input_id=self._tokenize(self._build_assistant_text(t)),
+                language_id=self._language_id(lang, spk),
+                speaker_embed=spk_embed,
+                instruct_id=(self._tokenize(self._build_instruct_text(ins))
+                             if ins else None),
+                non_streaming=non_streaming_mode))
+        kw = self._merge_generate_kwargs(**kwargs)
+        codes = self._run(specs, self._generation_config(kw), seed=seed)
+        return self.speech_tokenizer.decode([{"audio_codes": c} for c in codes])
+
+    def generate_voice_design(self, text, instruct, language=None,
+                              non_streaming_mode: bool = True,
+                              seed: Optional[int] = None, **kwargs):
+        """Reference: qwen3_tts_model.py:636-728."""
+        if self.tts_model_type != "voice_design":
+            raise ValueError(
+                f"model type {self.tts_model_type} does not support "
+                "generate_voice_design")
+        texts = self._ensure_list(text)
+        n = len(texts)
+        languages = self._broadcast(language, n, default="Auto")
+        instructs = self._broadcast(instruct, n)
+        self._validate_languages(languages)
+
+        specs = []
+        for t, lang, ins in zip(texts, languages, instructs):
+            specs.append(PromptSpec(
+                input_id=self._tokenize(self._build_assistant_text(t)),
+                language_id=self._language_id(lang, None),
+                instruct_id=(self._tokenize(self._build_instruct_text(ins))
+                             if ins else None),
+                non_streaming=non_streaming_mode))
+        kw = self._merge_generate_kwargs(**kwargs)
+        codes = self._run(specs, self._generation_config(kw), seed=seed)
+        return self.speech_tokenizer.decode([{"audio_codes": c} for c in codes])
+
+    def generate_voice_clone(self, text, language=None, ref_audio=None,
+                             ref_text=None, x_vector_only_mode=False,
+                             voice_clone_prompt=None,
+                             non_streaming_mode: bool = False,
+                             seed: Optional[int] = None, **kwargs):
+        """Reference: qwen3_tts_model.py:469-633 (incl. ref-code prepend to
+        the vocoder and proportional wav-prefix cut, 612-632)."""
+        if self.tts_model_type != "base":
+            raise ValueError(
+                f"model type {self.tts_model_type} does not support "
+                "generate_voice_clone")
+        texts = self._ensure_list(text)
+        n = len(texts)
+        languages = self._broadcast(language, n, default="Auto")
+        self._validate_languages(languages)
+
+        if voice_clone_prompt is None:
+            if ref_audio is None:
+                raise ValueError(
+                    "Either `voice_clone_prompt` or `ref_audio` must be provided.")
+            items = self.create_voice_clone_prompt(
+                ref_audio=ref_audio, ref_text=ref_text,
+                x_vector_only_mode=x_vector_only_mode)
+        else:
+            items = voice_clone_prompt
+        if len(items) == 1 and n > 1:
+            items = items * n
+        if len(items) != n:
+            raise ValueError(
+                f"Batch size mismatch: prompt={len(items)}, text={n}")
+
+        specs = []
+        for t, lang, item in zip(texts, languages, items):
+            icl = item.icl_mode and item.ref_code is not None
+            specs.append(PromptSpec(
+                input_id=self._tokenize(self._build_assistant_text(t)),
+                language_id=self._language_id(lang, None),
+                speaker_embed=(jnp.asarray(item.ref_spk_embedding)
+                               if (item.x_vector_only_mode or item.icl_mode)
+                               else None),
+                ref_id=(self._tokenize(self._build_ref_text(item.ref_text))
+                        if icl else None),
+                ref_code=item.ref_code if icl else None,
+                non_streaming=non_streaming_mode))
+        kw = self._merge_generate_kwargs(**kwargs)
+        codes = self._run(specs, self._generation_config(kw), seed=seed)
+
+        codes_for_decode, ref_lens = [], []
+        for item, c in zip(items, codes):
+            if item.ref_code is not None:
+                codes_for_decode.append(
+                    np.concatenate([np.asarray(item.ref_code), c], axis=0))
+                ref_lens.append(len(item.ref_code))
+            else:
+                codes_for_decode.append(c)
+                ref_lens.append(0)
+        wavs, fs = self.speech_tokenizer.decode(
+            [{"audio_codes": c} for c in codes_for_decode])
+        out = []
+        for wav, rl, c in zip(wavs, ref_lens, codes_for_decode):
+            if rl:
+                cut = int(rl / max(len(c), 1) * wav.shape[0])
+                out.append(wav[cut:])
+            else:
+                out.append(wav)
+        return out, fs
+
+    def _broadcast(self, x, n, default=None):
+        if x is None:
+            x = default
+        vals = self._ensure_list(x)
+        if len(vals) == 1 and n > 1:
+            vals = vals * n
+        if len(vals) != n:
+            raise ValueError(f"Batch size mismatch: got {len(vals)}, want {n}")
+        return vals
+
+
+def _raise_np(a):
+    raise ValueError("For numpy waveform input, pass a tuple (audio, sr).")

@@ -1,0 +1,201 @@
+"""Qwen3TTSTokenizer — public codec API (encode / decode), TPU-native.
+
+Mirrors the reference wrapper `qwen_tts/inference/qwen3_tts_tokenizer.py`
+(same method names, input forms, and return conventions) with JAX execution:
+
+- `from_pretrained(dir)` reads the checkpoint `config.json` + safetensors
+  directly (no torch).
+- `encode` accepts wav path(s) / URL / base64 / numpy (+sr) and returns
+  per-sample (T, Q) int code arrays.
+- `decode` accepts the encode output, a dict, or list[dict]; pads with -1,
+  chunk-decodes, trims per sample (reference decode 259-365 and
+  modeling...v2.py:993-1024).
+
+Shape bucketing keeps recompilation bounded: waveforms pad up to a frame
+multiple, codes pad up to the vocoder chunk size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecV2Config, load_config
+from ..models.codec12 import decoder as codec_decoder
+from ..models.codec12 import encoder as codec_encoder
+from ..utils.audio import AudioLike, load_audio, resample, to_mono
+from ..weights import load_safetensors_dir
+
+
+@dataclasses.dataclass
+class EncodeOutput:
+    audio_codes: List[np.ndarray]  # each (T_i, Q)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_quantizers", "dtype"))
+def _encode_compiled(enc_params, cfg, wavs, num_quantizers, dtype):
+    return codec_encoder.encode_waveform(enc_params, cfg, wavs,
+                                         num_quantizers=num_quantizers,
+                                         dtype=jnp.dtype(dtype))
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk_size", "left_context", "dtype"))
+def _decode_compiled(dec_params, cfg, codes, chunk_size, left_context, dtype):
+    return codec_decoder.chunked_decode(dec_params, cfg, codes,
+                                        chunk_size=chunk_size,
+                                        left_context_size=left_context,
+                                        dtype=jnp.dtype(dtype))
+
+
+class Qwen3TTSTokenizer:
+    """12 Hz (V2) codec tokenizer. 25 Hz (V1) loads via the same entry point
+    once `models/codec25` lands (reference registers both; SURVEY §2.3)."""
+
+    def __init__(self):
+        self.config: Optional[CodecV2Config] = None
+        self.enc_params = None
+        self.dec_params = None
+        self.chunk_size = 300
+        self.left_context = 25
+        self._compute_dtype = jnp.float32
+
+    # -- loading ----------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.float32,
+                        **kwargs) -> "Qwen3TTSTokenizer":
+        inst = cls()
+        cfg = load_config(model_dir)
+        if not isinstance(cfg, CodecV2Config):
+            raise ValueError(f"unsupported tokenizer config at {model_dir}")
+        inst.config = cfg
+        tree = load_safetensors_dir(model_dir, dtype=dtype)
+        inst.enc_params = codec_encoder.prepare_encoder_params(
+            tree["encoder"], cfg.encoder_config)
+        inst.dec_params = codec_decoder.prepare_decoder_params(
+            tree["decoder"], cfg.decoder_config)
+        inst._compute_dtype = dtype
+        return inst
+
+    @classmethod
+    def from_params(cls, config: CodecV2Config, enc_params=None,
+                    dec_params=None, dtype=jnp.float32) -> "Qwen3TTSTokenizer":
+        """Construct from in-memory prepared param trees (tests, serving)."""
+        inst = cls()
+        inst.config = config
+        inst.enc_params = enc_params
+        inst.dec_params = dec_params
+        inst._compute_dtype = dtype
+        return inst
+
+    # -- metadata ---------------------------------------------------------
+
+    def get_model_type(self) -> str:
+        return self.config.model_type
+
+    def get_input_sample_rate(self) -> int:
+        return int(self.config.input_sample_rate)
+
+    def get_output_sample_rate(self) -> int:
+        return int(self.config.output_sample_rate)
+
+    def get_encode_downsample_rate(self) -> int:
+        return int(self.config.encode_downsample_rate)
+
+    def get_decode_upsample_rate(self) -> int:
+        return int(self.config.decode_upsample_rate)
+
+    # -- encode -----------------------------------------------------------
+
+    def _normalize_audio_inputs(self, audios, sr: Optional[int]) -> List[np.ndarray]:
+        target_sr = self.get_input_sample_rate()
+        if isinstance(audios, (str, np.ndarray)):
+            audios = [audios]
+        out = []
+        for a in audios:
+            if isinstance(a, str):
+                wav, asr = load_audio(a)
+            elif isinstance(a, np.ndarray):
+                if sr is None:
+                    raise ValueError(
+                        "For numpy waveform input, you must provide `sr`.")
+                wav, asr = to_mono(a), int(sr)
+            elif isinstance(a, tuple):
+                wav, asr = to_mono(a[0]), int(a[1])
+            else:
+                raise TypeError(f"Unsupported audio input type: {type(a)}")
+            if asr != target_sr:
+                wav = resample(wav, asr, target_sr)
+            out.append(wav.astype(np.float32))
+        return out
+
+    def _encode_jit(self, wavs: jax.Array, num_quantizers: int) -> jax.Array:
+        return _encode_compiled(self.enc_params, self.config.encoder_config,
+                                wavs, num_quantizers,
+                                str(np.dtype(self._compute_dtype)))
+
+    def encode(self, audios, sr: Optional[int] = None,
+               return_dict: bool = True):
+        wavs = self._normalize_audio_inputs(audios, sr)
+        ds = self.get_encode_downsample_rate()
+        lengths = [len(w) for w in wavs]
+        max_len = max(lengths)
+        # bucket to an 8-frame multiple to bound recompiles
+        bucket = ds * 8
+        padded_len = ((max_len + bucket - 1) // bucket) * bucket
+        batch = np.zeros((len(wavs), padded_len), np.float32)
+        for i, w in enumerate(wavs):
+            batch[i, :len(w)] = w
+        nq = int(self.config.encoder_valid_num_quantizers)
+        codes = np.asarray(self._encode_jit(jnp.asarray(batch), nq))
+        # per-sample frame trim: ceil(len / ds) (reference modeling...v2.py:984)
+        out = []
+        for i, n in enumerate(lengths):
+            frames = -(-n // ds)
+            out.append(codes[i, :, :frames].T.astype(np.int64))  # (T, Q)
+        if return_dict:
+            return EncodeOutput(audio_codes=out)
+        return (out,)
+
+    # -- decode -----------------------------------------------------------
+
+    def _decode_jit(self, codes: jax.Array) -> jax.Array:
+        return _decode_compiled(self.dec_params, self.config.decoder_config,
+                                codes, self.chunk_size, self.left_context,
+                                str(np.dtype(self._compute_dtype)))
+
+    def decode(self, encoded) -> Tuple[List[np.ndarray], int]:
+        if hasattr(encoded, "audio_codes"):
+            codes_list = encoded.audio_codes
+        elif isinstance(encoded, dict):
+            codes_list = encoded["audio_codes"]
+        elif isinstance(encoded, list):
+            codes_list = [e["audio_codes"] for e in encoded]
+        else:
+            raise TypeError(
+                "`encoded` must be an encode output, a dict, or a list of dicts.")
+        if not isinstance(codes_list, (list, tuple)):
+            t = np.asarray(codes_list)
+            codes_list = [t] if t.ndim == 2 else list(t)
+
+        codes_list = [np.asarray(c) for c in codes_list]
+        lengths = [c.shape[0] for c in codes_list]
+        q = codes_list[0].shape[1]
+        max_t = max(lengths)
+        # bucket to the vocoder chunk size: padded frames only affect samples
+        # past the per-sample trim point (causal stack)
+        padded_t = ((max_t + self.chunk_size - 1)
+                    // self.chunk_size) * self.chunk_size
+        batch = np.zeros((len(codes_list), q, padded_t), np.int32)
+        for i, c in enumerate(codes_list):
+            batch[i, :, :c.shape[0]] = np.clip(c.T, 0, None)
+        wav = np.asarray(self._decode_jit(jnp.asarray(batch)))[:, 0, :]
+        up = self.get_decode_upsample_rate()
+        wavs = [wav[i, :lengths[i] * up].astype(np.float32)
+                for i in range(len(codes_list))]
+        return wavs, self.get_output_sample_rate()

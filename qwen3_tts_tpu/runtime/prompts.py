@@ -165,13 +165,17 @@ def build_prompt(params: Params, cfg: TalkerConfig, model_cfg: TTSModelConfig,
     return prompt, trailing, tts_pad
 
 
-def batch_prompts(prompts: Sequence[Tuple[jax.Array, jax.Array, jax.Array]]
+def batch_prompts(prompts: Sequence[Tuple[jax.Array, jax.Array, jax.Array]],
+                  bucket: int = 1
                   ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Left-pad a list of (prompt, trailing, pad) into batch tensors.
 
     Returns (inputs_embeds (B, L, H), attn_mask (B, L), trailing (B, Tt, H),
     tts_pad_embed (1, 1, H)).  Trailing hiddens are right-padded with the pad
-    embedding (reference 2255-2269).
+    embedding (reference 2255-2269).  `bucket` rounds L and Tt up so repeated
+    calls share jit cache entries (extra left padding is masked out; extra
+    trailing columns hold the pad embedding, which matches the text-exhausted
+    branch of the dual-track merge).
     """
     embeds = [p[0] for p in prompts]
     trailings = [p[1] for p in prompts]
@@ -179,6 +183,8 @@ def batch_prompts(prompts: Sequence[Tuple[jax.Array, jax.Array, jax.Array]]
     H = embeds[0].shape[-1]
     L = max(e.shape[1] for e in embeds)
     Tt = max(t.shape[1] for t in trailings)
+    L = ((L + bucket - 1) // bucket) * bucket
+    Tt = ((Tt + bucket - 1) // bucket) * bucket
     B = len(prompts)
 
     batch = jnp.zeros((B, L, H), embeds[0].dtype)

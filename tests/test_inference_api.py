@@ -1,0 +1,142 @@
+"""Integration: Qwen3TTSModel/Qwen3TTSTokenizer public API over a fabricated
+reference-format checkpoint directory (tiny random weights)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests._reference import reference_available
+from tests.test_codec12_decoder import TINY as DEC_TINY
+from tests.test_codec12_encoder import TINY as ENC_TINY
+from tests.test_pipeline_parity import MODEL_TINY, SPK_ID
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+class FakeTokenizer:
+    """Deterministic char-hash tokenizer standing in for Qwen2TokenizerFast."""
+
+    def __call__(self, text, return_tensors=None, **kw):
+        ids = [1 + (ord(c) * 7 + i) % 39 for i, c in enumerate(text)][:24]
+        ids = ids + [1] * max(0, 9 - len(ids))
+        return {"input_ids": np.asarray([ids], dtype=np.int64)}
+
+
+@pytest.fixture(scope="module")
+def tiny_checkpoint(tmp_path_factory):
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    import torch
+    from safetensors.torch import save_file
+
+    from tests.test_codec12_decoder import _make_reference_decoder
+    from tests.test_codec12_encoder import _make_reference_encoder
+    from tests.test_pipeline_parity import _make_reference_model
+
+    root = tmp_path_factory.mktemp("ckpt")
+
+    # talker + speaker encoder
+    _, rcfg, model = _make_reference_model(model_type="custom_voice")
+    # reference state dict is already rooted at talker./speaker_encoder.
+    sd = {k: v.contiguous() for k, v in model.state_dict().items()}
+    save_file(sd, str(root / "model.safetensors"))
+
+    cfg_json = dict(MODEL_TINY)
+    cfg_json["model_type"] = "qwen3_tts"
+    with open(root / "config.json", "w") as f:
+        json.dump(cfg_json, f)
+    with open(root / "generation_config.json", "w") as f:
+        json.dump({"do_sample": False, "subtalker_dosample": False,
+                   "max_new_tokens": 6}, f)
+
+    # speech tokenizer subdir
+    tok_dir = root / "speech_tokenizer"
+    os.makedirs(tok_dir)
+    _, enc_model = _make_reference_encoder()
+    _, _, dec_model = _make_reference_decoder()
+    tok_sd = {}
+    tok_sd.update({f"encoder.{k}": v.contiguous()
+                   for k, v in enc_model.state_dict().items()})
+    tok_sd.update({f"decoder.{k}": v.contiguous()
+                   for k, v in dec_model.state_dict().items()})
+    save_file(tok_sd, str(tok_dir / "model.safetensors"))
+    with open(tok_dir / "config.json", "w") as f:
+        json.dump({
+            "model_type": "qwen3_tts_tokenizer_12hz",
+            "encoder_config": dict(ENC_TINY),
+            "decoder_config": {k: list(v) if isinstance(v, tuple) else v
+                               for k, v in DEC_TINY.items()},
+            "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
+            "input_sample_rate": ENC_TINY["sampling_rate"],
+            "output_sample_rate": 1000,
+            "decode_upsample_rate": 64,
+            "encode_downsample_rate": 16,
+        }, f)
+    return str(root)
+
+
+def test_from_pretrained_and_custom_voice(tiny_checkpoint):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+
+    model = Qwen3TTSModel.from_pretrained(tiny_checkpoint, dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+
+    assert model.get_supported_speakers() == ["vivian"]
+    assert "english" in model.get_supported_languages()
+
+    wavs, sr = model.generate_custom_voice(
+        text=["hello world", "second sample"], speaker="vivian",
+        language="english", seed=0)
+    assert sr == 1000
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and w.size >= 0
+        assert np.isfinite(w).all()
+
+
+def test_custom_voice_validation_errors(tiny_checkpoint):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+
+    model = Qwen3TTSModel.from_pretrained(tiny_checkpoint, dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+
+    with pytest.raises(ValueError, match="Unsupported speakers"):
+        model.generate_custom_voice(text="hi", speaker="nobody")
+    with pytest.raises(ValueError, match="Unsupported languages"):
+        model.generate_custom_voice(text="hi", speaker="vivian",
+                                    language="klingon")
+    with pytest.raises(ValueError, match="does not support"):
+        model.generate_voice_clone(text="hi", ref_audio=("x", 1))
+
+
+def test_tokenizer_roundtrip_api(tiny_checkpoint):
+    from qwen3_tts_tpu import Qwen3TTSTokenizer
+
+    tok = Qwen3TTSTokenizer.from_pretrained(
+        os.path.join(tiny_checkpoint, "speech_tokenizer"))
+    assert tok.get_model_type() == "qwen3_tts_tokenizer_12hz"
+    assert tok.get_input_sample_rate() == ENC_TINY["sampling_rate"]
+
+    rng = np.random.default_rng(0)
+    wav_a = rng.uniform(-0.5, 0.5, size=(330,)).astype(np.float32)
+    wav_b = rng.uniform(-0.5, 0.5, size=(170,)).astype(np.float32)
+    enc = tok.encode([wav_a, wav_b], sr=ENC_TINY["sampling_rate"])
+    assert len(enc.audio_codes) == 2
+    t_a = -(-330 // tok.get_encode_downsample_rate())
+    assert enc.audio_codes[0].shape == (t_a, DEC_TINY["num_quantizers"])
+
+    wavs, sr = tok.decode(enc)
+    assert sr == 1000
+    assert wavs[0].shape[0] == t_a * tok.get_decode_upsample_rate()
+    # dict and list[dict] input forms
+    wavs2, _ = tok.decode({"audio_codes": enc.audio_codes})
+    wavs3, _ = tok.decode([{"audio_codes": c} for c in enc.audio_codes])
+    np.testing.assert_array_equal(wavs[0], wavs2[0])
+    np.testing.assert_array_equal(wavs[0], wavs3[0])
