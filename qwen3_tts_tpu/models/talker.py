@@ -189,8 +189,9 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
                    attn_mask: jax.Array, cache: KVCache
                    ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Prefill the talker. inputs_embeds: (B, T, H) left-padded; attn_mask:
-    (B, T) 1 = real token.  Returns (logits_last (B, V), last_hidden (B,1,H),
-    cache)."""
+    (B, T) 1 = real token.  Returns (logits_last (B, V), hidden (B, T, H) —
+    full last-layer normed hiddens, cache).  Callers needing only the last
+    position slice [:, -1:]."""
     B, T, _ = inputs_embeds.shape
     S = cache.k.shape[2]
     dims = StackDims.from_talker(cfg)
@@ -215,10 +216,9 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
 
     h, cache = decoder_stack(params["layers"], params["norm"], dims,
                              inputs_embeds, cos, sin, bias, cache, 0)
-    last_hidden = h[:, -1:, :]
-    logits = (last_hidden[:, 0].astype(jnp.float32)
+    logits = (h[:, -1].astype(jnp.float32)
               @ params["codec_head"].T.astype(jnp.float32))
-    return logits, last_hidden, cache
+    return logits, h, cache
 
 
 def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,

@@ -82,8 +82,9 @@ def generate_frames(params: Params, cfg: TalkerConfig,
 
     cache = KVCache.zeros(cfg.num_hidden_layers, B, S, dims.kv_heads,
                           dims.head_dim, dtype=dtype)
-    logits, last_hidden, cache = talker_prefill(params, cfg, inputs_embeds,
-                                                attn_mask, cache)
+    logits, hidden_seq, cache = talker_prefill(params, cfg, inputs_embeds,
+                                               attn_mask, cache)
+    last_hidden = hidden_seq[:, -1:, :]
 
     suppress = suppress_mask_for(cfg)
     eos = cfg.codec_eos_token_id
