@@ -50,6 +50,12 @@ def fuse_embeddings(params: Params, cfg: TalkerConfig, batch: Dict[str, jax.Arra
     """sft_12hz.py:86-98 embedding fusion. Returns (B, T, H)."""
     input_ids = batch["input_ids"]            # (B, T, 2)
     text_emb = jnp.take(params["text_embedding"], input_ids[..., 0], axis=0)
+    if text_emb.shape[-1] != cfg.hidden_size:
+        # the reference SFT adds raw text embeddings (sft_12hz.py:88) which
+        # assumes text_hidden == hidden; project when a config has them differ
+        from ..models.talker import text_project
+
+        text_emb = text_project(params, cfg, text_emb)
     text_emb = text_emb * batch["text_embedding_mask"].astype(text_emb.dtype)
     codec_emb = jnp.take(params["codec_embedding"], input_ids[..., 1], axis=0)
     codec_emb = codec_emb * batch["codec_embedding_mask"].astype(codec_emb.dtype)

@@ -115,6 +115,53 @@ def load_safetensors_dir(model_dir: str, dtype=None,
     return unflatten_state_dict(flat)
 
 
+def talker_params_to_state_dict(prepared: Dict[str, Any],
+                                prefix: str = "talker") -> Dict[str, np.ndarray]:
+    """Invert `prepare_talker_params`: stacked pytree -> reference-format
+    state-dict names (for checkpoint save after finetuning)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def unstack(tree: Dict[str, Any], base: str):
+        flat = flatten_state_dict(tree)
+        n_layers = None
+        for k, v in flat.items():
+            if n_layers is None:
+                n_layers = v.shape[0]
+            for i in range(v.shape[0]):
+                out[f"{base}.{i}.{k}"] = np.asarray(v[i])
+
+    unstack(prepared["layers"], f"{prefix}.model.layers")
+    out[f"{prefix}.model.norm.weight"] = np.asarray(prepared["norm"]["weight"])
+    out[f"{prefix}.model.codec_embedding.weight"] = np.asarray(prepared["codec_embedding"])
+    out[f"{prefix}.model.text_embedding.weight"] = np.asarray(prepared["text_embedding"])
+    for k, v in flatten_state_dict(prepared["text_projection"]).items():
+        out[f"{prefix}.text_projection.{k}"] = np.asarray(v)
+    out[f"{prefix}.codec_head.weight"] = np.asarray(prepared["codec_head"])
+
+    cp = prepared["code_predictor"]
+    unstack(cp["layers"], f"{prefix}.code_predictor.model.layers")
+    out[f"{prefix}.code_predictor.model.norm.weight"] = np.asarray(cp["norm"]["weight"])
+    for i in range(cp["embeddings"].shape[0]):
+        out[f"{prefix}.code_predictor.model.codec_embedding.{i}.weight"] = \
+            np.asarray(cp["embeddings"][i])
+    for i in range(cp["lm_heads"].shape[0]):
+        out[f"{prefix}.code_predictor.lm_head.{i}.weight"] = \
+            np.asarray(cp["lm_heads"][i])
+    if cp.get("proj") is not None:
+        out[f"{prefix}.code_predictor.small_to_mtp_projection.weight"] = \
+            np.asarray(cp["proj"]["weight"])
+        out[f"{prefix}.code_predictor.small_to_mtp_projection.bias"] = \
+            np.asarray(cp["proj"]["bias"])
+    return out
+
+
+def save_safetensors(path: str, state_dict: Dict[str, np.ndarray]) -> None:
+    from safetensors import numpy as st_numpy
+
+    st_numpy.save_file({k: np.ascontiguousarray(v) for k, v in state_dict.items()},
+                       path)
+
+
 def cast_floats(tree, dtype):
     """Cast all floating leaves of a pytree to dtype."""
     def _cast(x):

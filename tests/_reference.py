@@ -166,3 +166,21 @@ def load_talker():
 def load_talker_config():
     return load_reference_module("qwen_tts/core/models", "configuration_qwen3_tts",
                                  "ref_models")
+
+
+def load_finetune_dataset():
+    """Load finetuning/dataset.py with its `qwen_tts.core.models` imports
+    aliased to the already-loaded ref_models modules."""
+    load_talker()  # ensures ref_models.{configuration,modeling}_qwen3_tts
+    for name in ("qwen_tts", "qwen_tts.core", "qwen_tts.core.models"):
+        _install_stub(name)
+    sys.modules["qwen_tts.core.models.configuration_qwen3_tts"] = \
+        sys.modules["ref_models.configuration_qwen3_tts"]
+    sys.modules["qwen_tts.core.models.modeling_qwen3_tts"] = \
+        sys.modules["ref_models.modeling_qwen3_tts"]
+    path = os.path.join(REFERENCE_ROOT, "finetuning/dataset.py")
+    spec = importlib.util.spec_from_file_location("ref_finetune_dataset", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_finetune_dataset"] = mod
+    spec.loader.exec_module(mod)
+    return mod

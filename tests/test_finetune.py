@@ -1,0 +1,137 @@
+"""Finetuning: collate layout parity vs reference TTSDataset.collate_fn and
+an end-to-end SFT smoke (train steps + checkpoint save + reload)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests._reference import reference_available
+from tests.test_pipeline_parity import MODEL_TINY
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+def _synthetic_items(rng, n, q=16):
+    items = []
+    for _ in range(n):
+        tl = int(rng.integers(9, 14))
+        cl = int(rng.integers(3, 7))
+        items.append({
+            "text_ids": rng.integers(1, 40, size=(1, tl)),
+            "audio_codes": rng.integers(0, 60, size=(cl, q)),
+            "ref_mel": rng.normal(0, 1, size=(1, 12, 16)).astype(np.float32),
+        })
+    return items
+
+
+@requires_reference
+def test_collate_layout_parity():
+    import torch
+
+    from tests._reference import load_finetune_dataset
+
+    ref_mod_pre = load_finetune_dataset()  # also loads ref_models modules
+    from ref_models.configuration_qwen3_tts import Qwen3TTSConfig
+
+    from qwen3_tts_tpu.config import TTSModelConfig
+    from qwen3_tts_tpu.finetune.data import TTSDataset
+
+    ref_mod = ref_mod_pre
+    d = dict(MODEL_TINY)
+    ref_cfg = Qwen3TTSConfig(**d)
+    our_cfg = TTSModelConfig.from_dict(d)
+
+    rng = np.random.default_rng(0)
+    items = _synthetic_items(rng, 3)
+
+    ref_ds = ref_mod.TTSDataset([], None, ref_cfg)
+    ref_batch = ref_ds.collate_fn([
+        {"text_ids": torch.from_numpy(it["text_ids"]),
+         "audio_codes": torch.from_numpy(it["audio_codes"]),
+         "ref_mel": torch.from_numpy(it["ref_mel"])}
+        for it in items])
+
+    ours = TTSDataset([], lambda t: np.zeros(9, np.int64), our_cfg,
+                      num_code_groups=16)
+    our_batch = ours.collate(items)
+
+    for key in ("input_ids", "attention_mask", "codec_0_labels", "codec_ids"):
+        np.testing.assert_array_equal(np.asarray(our_batch[key]),
+                                      ref_batch[key].numpy(), err_msg=key)
+    for key in ("text_embedding_mask", "codec_embedding_mask", "codec_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(our_batch[key]).astype(bool),
+            ref_batch[key].numpy().astype(bool), err_msg=key)
+
+
+@requires_reference
+def test_sft_train_steps_and_loss(tmp_path):
+    """Two jitted train steps on the tiny talker: loss finite and decreasing
+    on a repeated batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import TTSModelConfig
+    from qwen3_tts_tpu.finetune.train import default_optimizer, make_train_step
+    from qwen3_tts_tpu.models.talker import prepare_talker_params
+    from qwen3_tts_tpu.weights import from_torch_state_dict
+    from tests.test_pipeline_parity import _make_reference_model
+
+    _, rcfg, model = _make_reference_model()
+    tree = from_torch_state_dict(model.state_dict(), dtype=jnp.float32)
+    cfg = TTSModelConfig.from_dict(dict(MODEL_TINY))
+    tc = cfg.talker_config
+    params = prepare_talker_params(tree["talker"], tc)
+
+    rng = np.random.default_rng(0)
+    B, T, Q = 2, 24, tc.num_code_groups
+    batch = {
+        "input_ids": rng.integers(1, 40, size=(B, T, 2)),
+        "codec_ids": rng.integers(0, 60, size=(B, T, Q)),
+        "text_embedding_mask": np.ones((B, T, 1), np.float32),
+        "codec_embedding_mask": np.ones((B, T, 1), np.float32),
+        "attention_mask": np.ones((B, T), np.int64),
+        "codec_0_labels": np.where(np.arange(T)[None, :] >= 8,
+                                   rng.integers(0, 60, size=(B, T)), -100),
+        "codec_mask": np.arange(T)[None, :].repeat(B, 0) >= 8,
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    spk = jnp.zeros((B, tc.hidden_size), jnp.float32)
+
+    opt = default_optimizer(lr=1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(tc, opt))
+
+    params, opt_state, m1 = step(params, opt_state, batch, spk)
+    params, opt_state, m2 = step(params, opt_state, batch, spk)
+    l1, l2 = float(m1["loss"]), float(m2["loss"])
+    assert np.isfinite(l1) and np.isfinite(l2)
+    assert l2 < l1
+
+
+@requires_reference
+def test_state_dict_roundtrip():
+    """prepare_talker_params -> talker_params_to_state_dict is lossless."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import TTSModelConfig
+    from qwen3_tts_tpu.models.talker import prepare_talker_params
+    from qwen3_tts_tpu.weights import (from_torch_state_dict,
+                                       talker_params_to_state_dict)
+    from tests.test_pipeline_parity import _make_reference_model
+
+    _, rcfg, model = _make_reference_model()
+    cfg = TTSModelConfig.from_dict(dict(MODEL_TINY))
+    tree = from_torch_state_dict(model.state_dict(), dtype=jnp.float32)
+    params = prepare_talker_params(tree["talker"], cfg.talker_config)
+    sd = talker_params_to_state_dict(params)
+
+    want = {k: v.detach().float().numpy()
+            for k, v in model.state_dict().items()
+            if k.startswith("talker.")}
+    assert set(sd.keys()) == set(want.keys())
+    for k in want:
+        np.testing.assert_array_equal(sd[k], want[k], err_msg=k)
