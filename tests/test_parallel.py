@@ -1,0 +1,97 @@
+"""Mesh-sharded execution: TP/DP-sharded inference must reproduce the
+single-device results exactly (greedy), and the multichip training dryrun
+must compile+run (SURVEY.md §4 item 5)."""
+
+import numpy as np
+import pytest
+
+from tests._reference import reference_available
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+def _devices_ok(n):
+    import jax
+
+    return len(jax.devices()) >= n
+
+
+@requires_reference
+def test_sharded_generation_matches_unsharded():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.parallel.mesh import make_mesh, shard_talker_params
+    from qwen3_tts_tpu.runtime.generate import (GenerationConfig,
+                                                generate_frames)
+    from tests.test_talker import _make_reference_talker, _to_jax, _random_inputs
+
+    if not _devices_ok(4):
+        pytest.skip("needs 4 devices")
+
+    ref, rcfg, model = _make_reference_talker()
+    params, cfg = _to_jax(model)
+    embeds, mask, trailing, pad = _random_inputs(5)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=5,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False),
+    )
+    key = jax.random.PRNGKey(0)
+
+    base = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad, key)
+    base_codes, base_lens = np.asarray(base.codes), np.asarray(base.lengths)
+
+    mesh = make_mesh(dp=2, tp=2)
+    sharded = shard_talker_params(params, mesh)
+    bshard = NamedSharding(mesh, P("dp"))
+    args = [jax.device_put(jnp.asarray(x), bshard)
+            for x in (embeds, mask, trailing)]
+    with mesh:
+        out = generate_frames(sharded, cfg, gen_cfg, args[0], args[1], args[2],
+                              jnp.asarray(pad), key)
+        codes, lens = np.asarray(out.codes), np.asarray(out.lengths)
+
+    np.testing.assert_array_equal(lens, base_lens)
+    for b in range(codes.shape[0]):
+        np.testing.assert_array_equal(codes[b, :lens[b]],
+                                      base_codes[b, :base_lens[b]])
+
+
+def test_dryrun_multichip_8():
+    if not _devices_ok(8):
+        pytest.skip("needs 8 devices")
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_param_specs_follow_tp_plan():
+    from jax.sharding import PartitionSpec as P
+
+    from qwen3_tts_tpu.parallel.mesh import talker_param_specs
+
+    fake = {
+        "layers": {"self_attn": {"q_proj": {"weight": 0},
+                                 "o_proj": {"weight": 0}},
+                   "mlp": {"gate_proj": {"weight": 0},
+                           "down_proj": {"weight": 0}}},
+        "codec_head": 0,
+        "code_predictor": {"proj": None},
+    }
+    specs = talker_param_specs(fake)
+    assert specs["layers"]["self_attn"]["q_proj"]["weight"] == P(None, "tp", None)
+    assert specs["layers"]["self_attn"]["o_proj"]["weight"] == P(None, None, "tp")
+    assert specs["layers"]["mlp"]["gate_proj"]["weight"] == P(None, "tp", None)
+    assert specs["layers"]["mlp"]["down_proj"]["weight"] == P(None, None, "tp")
+    assert specs["codec_head"] == P("tp", None)
+    assert specs["code_predictor"]["proj"] is None
