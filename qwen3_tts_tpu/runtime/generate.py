@@ -1,18 +1,21 @@
-"""Talker generation loop: batched frame-by-frame decode, fully on-device.
+"""Talker generation: batched frame-by-frame decode, fully on-device.
 
 Re-implements the reference's HF-generate-driven loop
 (modeling_qwen3_tts.py:2272-2291 driving Qwen3TTSTalkerForConditionalGeneration
-.forward 1635-1744) as one jitted program:
+.forward 1635-1744) as a resumable on-device state machine:
 
-  prefill -> sample code0 -> [per frame: sub-talker scan -> frame embed sum ->
-  dual-track text merge -> talker step -> sample next code0]
+  init_decode_state: prefill -> sample first code0
+  frame_step:        sub-talker scan -> frame embed sum -> dual-track text
+                     merge -> talker step -> sample next code0
+  generate_frames:   jitted while_loop over frame_step (batch API)
+  decode_chunk:      jitted K-step scan over frame_step (streaming API —
+                     the host interleaves talker chunks with vocoder chunks)
 
 Per reference semantics:
 - frames are recorded for every talker forward whose *input* is a sampled
   code0 (so max_new_tokens M yields at most M-1 frames, reference 2280-2291);
 - generation stops at codebook-0 EOS per sample (2283-2287);
-- repetition penalty sees only previously generated code0 ids (generation
-  starts from inputs_embeds, so HF history is exactly the sampled ids);
+- repetition penalty sees only previously generated code0 ids;
 - the suppress list bans the top-1024 control ids except EOS (2059-2063);
 - min_new_tokens=2 bans EOS for the first two samples (2046);
 - dual-track merge: frame embedding + trailing text hidden until exhausted,
@@ -53,10 +56,140 @@ def suppress_mask_for(cfg: TalkerConfig) -> jnp.ndarray:
     return mask & (ids != cfg.codec_eos_token_id)
 
 
+class DecodeConst(NamedTuple):
+    """Loop-invariant tensors for the decode state machine."""
+
+    trailing_text: jax.Array   # (B, Tt, H) pad-filled projected text hiddens
+    tts_pad_embed: jax.Array   # (1, 1, H)
+    valid_prefill: jax.Array   # (B, S) bool — prefill attention validity
+    seq_lens: jax.Array        # (B,) real prefill length (rope base position)
+    prefill_len: jax.Array     # scalar int — T (first decode cache slot)
+
+
+class DecodeState(NamedTuple):
+    cache: KVCache
+    code0: jax.Array         # (B,) next frame's codebook-0 id
+    last_hidden: jax.Array   # (B, 1, H)
+    presence: jax.Array      # (B, V) bool — generated-id history
+    done: jax.Array          # (B,) bool
+    lengths: jax.Array       # (B,) frames recorded
+    t: jax.Array             # scalar int32 frame counter
+    key: jax.Array
+
+
 class GenerationResult(NamedTuple):
     codes: jax.Array    # (B, max_frames, Q) int32
     lengths: jax.Array  # (B,) valid frame count per sample
-    hidden: jax.Array   # (B, max_frames, H) talker last-layer hidden per frame
+    hidden: jax.Array   # (B, max_frames, H) talker hidden per frame
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_len"))
+def init_decode_state(params: Params, cfg: TalkerConfig,
+                      gen_cfg: GenerationConfig, inputs_embeds: jax.Array,
+                      attn_mask: jax.Array, trailing_text: jax.Array,
+                      tts_pad_embed: jax.Array, key: jax.Array,
+                      max_len: int) -> Tuple[DecodeState, DecodeConst]:
+    """Prefill and sample the first code0. `max_len` is the KV capacity S."""
+    B, T, H = inputs_embeds.shape
+    dims = StackDims.from_talker(cfg)
+    dtype = inputs_embeds.dtype
+
+    cache = KVCache.zeros(cfg.num_hidden_layers, B, max_len, dims.kv_heads,
+                          dims.head_dim, dtype=dtype)
+    logits, hidden_seq, cache = talker_prefill(params, cfg, inputs_embeds,
+                                               attn_mask, cache)
+    presence = jnp.zeros((B, cfg.vocab_size), bool)
+    key, sub = jax.random.split(key)
+    ban = jnp.full((B,), 0 < gen_cfg.min_new_tokens)
+    code0 = process_and_sample(logits, sub, gen_cfg.sampling,
+                               presence=presence,
+                               suppress_mask=suppress_mask_for(cfg),
+                               ban_eos=ban, eos_id=cfg.codec_eos_token_id)
+
+    valid_prefill = jnp.zeros((B, max_len), bool)
+    valid_prefill = jax.lax.dynamic_update_slice(
+        valid_prefill, attn_mask.astype(bool), (0, 0))
+    const = DecodeConst(
+        trailing_text=trailing_text,
+        tts_pad_embed=jnp.asarray(tts_pad_embed, dtype),
+        valid_prefill=valid_prefill,
+        seq_lens=jnp.sum(attn_mask, axis=-1).astype(jnp.int32),
+        prefill_len=jnp.int32(T),
+    )
+    state = DecodeState(
+        cache=cache, code0=code0, last_hidden=hidden_seq[:, -1:, :],
+        presence=presence, done=jnp.zeros((B,), bool),
+        lengths=jnp.zeros((B,), jnp.int32), t=jnp.int32(0), key=key)
+    return state, const
+
+
+def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
+               const: DecodeConst, state: DecodeState
+               ) -> Tuple[DecodeState, jax.Array, jax.Array, jax.Array]:
+    """One frame: returns (state', frame (B, Q), hidden_row (B, H),
+    active (B,) — whether the frame is valid output)."""
+    eos = cfg.codec_eos_token_id
+    B = state.code0.shape[0]
+    S = state.cache.k.shape[2]
+    dtype = state.last_hidden.dtype
+    suppress = suppress_mask_for(cfg)
+
+    now_done = state.done | (state.code0 == eos)
+    presence = state.presence.at[jnp.arange(B), state.code0].set(True)
+
+    code0_embed = jnp.take(params["codec_embedding"], state.code0, axis=0
+                           )[:, None, :].astype(dtype)
+    key, k1, k2 = jax.random.split(state.key, 3)
+    sub_codes, sub_emb_sum = code_predictor_frame(
+        params, cfg, state.last_hidden, code0_embed, k1, gen_cfg.subtalker)
+    frame = jnp.concatenate([state.code0[:, None], sub_codes], axis=1)
+
+    active = ~now_done
+    lengths = state.lengths + active.astype(jnp.int32)
+
+    # dual-track merge (reference 1682-1692)
+    Tt = const.trailing_text.shape[1]
+    text_idx = jnp.minimum(state.t, Tt - 1)
+    text_h = jax.lax.dynamic_slice_in_dim(const.trailing_text, text_idx, 1, axis=1)
+    text_h = jnp.where(state.t < Tt, text_h,
+                       jnp.broadcast_to(const.tts_pad_embed, text_h.shape))
+    embed = code0_embed + sub_emb_sum + text_h.astype(dtype)
+
+    cache_index = const.prefill_len + state.t
+    slot = jnp.arange(S)[None, :]
+    kv_valid = const.valid_prefill | ((slot >= const.prefill_len) &
+                                      (slot <= cache_index))
+    position = const.seq_lens + state.t
+    logits, last_hidden, cache = talker_decode_step(
+        params, cfg, embed, position, cache_index, kv_valid, state.cache)
+
+    ban = jnp.full((B,), state.t + 1 < gen_cfg.min_new_tokens)
+    next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
+                                    presence=presence, suppress_mask=suppress,
+                                    ban_eos=ban, eos_id=eos)
+    new_state = DecodeState(cache=cache, code0=next_code0,
+                            last_hidden=last_hidden, presence=presence,
+                            done=now_done, lengths=lengths,
+                            t=state.t + 1, key=key)
+    return new_state, frame, last_hidden[:, 0], active
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_frames"))
+def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
+                 const: DecodeConst, state: DecodeState, num_frames: int
+                 ) -> Tuple[DecodeState, jax.Array, jax.Array]:
+    """Run up to `num_frames` frame steps (streaming granule).
+
+    Returns (state, frames (B, K, Q), active (B, K)).  Steps past EOS produce
+    inactive rows.
+    """
+    def body(state, _):
+        state, frame, _, active = frame_step(params, cfg, gen_cfg, const, state)
+        return state, (frame, active)
+
+    state, (frames, active) = jax.lax.scan(body, state, None,
+                                           length=num_frames)
+    return state, jnp.swapaxes(frames, 0, 1), jnp.swapaxes(active, 0, 1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg"))
@@ -65,7 +198,7 @@ def generate_frames(params: Params, cfg: TalkerConfig,
                     inputs_embeds: jax.Array, attn_mask: jax.Array,
                     trailing_text: jax.Array, tts_pad_embed: jax.Array,
                     key: jax.Array) -> GenerationResult:
-    """Run the full generation.
+    """Full batch generation (non-streaming API).
 
     inputs_embeds: (B, T, H) left-padded prefill embeddings.
     attn_mask: (B, T) 1 = real token.
@@ -77,90 +210,30 @@ def generate_frames(params: Params, cfg: TalkerConfig,
     M = gen_cfg.max_new_tokens
     max_frames = M - 1
     S = T + M + 1
-    dims = StackDims.from_talker(cfg)
-    dtype = inputs_embeds.dtype
-
-    cache = KVCache.zeros(cfg.num_hidden_layers, B, S, dims.kv_heads,
-                          dims.head_dim, dtype=dtype)
-    logits, hidden_seq, cache = talker_prefill(params, cfg, inputs_embeds,
-                                               attn_mask, cache)
-    last_hidden = hidden_seq[:, -1:, :]
-
-    suppress = suppress_mask_for(cfg)
     eos = cfg.codec_eos_token_id
-    presence = jnp.zeros((B, cfg.vocab_size), bool)
-    seq_lens = jnp.sum(attn_mask, axis=-1).astype(jnp.int32)  # (B,)
 
-    key, sub = jax.random.split(key)
-    ban = jnp.full((B,), 0 < gen_cfg.min_new_tokens)
-    code0 = process_and_sample(logits, sub, gen_cfg.sampling,
-                               presence=presence, suppress_mask=suppress,
-                               ban_eos=ban, eos_id=eos)
-
-    valid_prefill = jnp.zeros((B, S), bool)
-    valid_prefill = jax.lax.dynamic_update_slice(
-        valid_prefill, attn_mask.astype(bool), (0, 0))
-    slot = jnp.arange(S)[None, :]
-
+    state, const = init_decode_state(params, cfg, gen_cfg, inputs_embeds,
+                                     attn_mask, trailing_text, tts_pad_embed,
+                                     key, S)
     codes_buf = jnp.zeros((B, max_frames, Q), jnp.int32)
-    hidden_buf = jnp.zeros((B, max_frames, H), dtype)
-    Tt = trailing_text.shape[1]
+    hidden_buf = jnp.zeros((B, max_frames, H), inputs_embeds.dtype)
 
-    def step(t, state):
-        (cache, code0, last_hidden, presence, done, codes_buf, hidden_buf,
-         lengths, key) = state
-        # `code0` is generated token index t+1 (1-based); it becomes this
-        # frame's codebook-0 id unless it is EOS.
-        now_done = done | (code0 == eos)
-        presence = presence.at[jnp.arange(B), code0].set(True)
+    def cond(carry):
+        state, _, _ = carry
+        return (state.t < max_frames) & ~jnp.all(state.done |
+                                                 (state.code0 == eos))
 
-        code0_embed = jnp.take(params["codec_embedding"], code0, axis=0
-                               )[:, None, :].astype(dtype)
-        key, k1, k2 = jax.random.split(key, 3)
-        sub_codes, sub_emb_sum = code_predictor_frame(
-            params, cfg, last_hidden, code0_embed, k1, gen_cfg.subtalker)
-        frame = jnp.concatenate([code0[:, None], sub_codes], axis=1)
-
-        active = ~now_done
+    def body(carry):
+        state, codes_buf, hidden_buf = carry
+        t = state.t
+        state, frame, hidden_row, active = frame_step(params, cfg, gen_cfg,
+                                                      const, state)
         codes_buf = codes_buf.at[:, t, :].set(
             jnp.where(active[:, None], frame, 0))
         hidden_buf = hidden_buf.at[:, t, :].set(
-            jnp.where(active[:, None], last_hidden[:, 0], 0))
-        lengths = lengths + active.astype(jnp.int32)
+            jnp.where(active[:, None], hidden_row, 0))
+        return state, codes_buf, hidden_buf
 
-        # dual-track merge (reference 1682-1692)
-        text_idx = jnp.minimum(t, Tt - 1)
-        text_h = jax.lax.dynamic_slice_in_dim(trailing_text, text_idx, 1, axis=1)
-        text_h = jnp.where(t < Tt, text_h, jnp.broadcast_to(tts_pad_embed, text_h.shape))
-        embed = code0_embed + sub_emb_sum + text_h.astype(dtype)
-
-        cache_index = T + t
-        kv_valid = valid_prefill | ((slot >= T) & (slot <= cache_index))
-        position = seq_lens + t
-        logits, last_hidden, cache = talker_decode_step(
-            params, cfg, embed, position, cache_index, kv_valid, cache)
-
-        ban = jnp.full((B,), t + 1 < gen_cfg.min_new_tokens)
-        next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
-                                        presence=presence,
-                                        suppress_mask=suppress,
-                                        ban_eos=ban, eos_id=eos)
-        return (cache, next_code0, last_hidden, presence, now_done,
-                codes_buf, hidden_buf, lengths, key)
-
-    lengths = jnp.zeros((B,), jnp.int32)
-    done = jnp.zeros((B,), bool)
-    state = (cache, code0, last_hidden, presence, done, codes_buf, hidden_buf,
-             lengths, key)
-
-    def cond(carry):
-        t, state = carry
-        return (t < max_frames) & ~jnp.all(state[4] | (state[1] == eos))
-
-    def body(carry):
-        t, state = carry
-        return t + 1, step(t, state)
-
-    _, state = jax.lax.while_loop(cond, body, (0, state))
-    (_, _, _, _, _, codes_buf, hidden_buf, lengths, _) = state
-    return GenerationResult(codes_buf, lengths, hidden_buf)
+    state, codes_buf, hidden_buf = jax.lax.while_loop(
+        cond, body, (state, codes_buf, hidden_buf))
+    return GenerationResult(codes_buf, state.lengths, hidden_buf)

@@ -1,0 +1,157 @@
+"""Dual-track streaming synthesis: overlapped talker decode + chunked vocoder.
+
+The reference's "Dual-Track" architecture claims ~97 ms end-to-end first
+packet (README.md:54); its public code, however, only simulates streaming
+text layout (qwen3_tts_model.py non_streaming_mode doc) and decodes the
+vocoder after full generation.  Here streaming is real:
+
+  host loop:  [talker chunk K_i on device] -> [vocoder chunk on device] ->
+              emit packet, while the next talker chunk launches
+
+- Talker chunks use `decode_chunk` (runtime/generate.py), a K-step scan over
+  the resumable decode state — a small warmup schedule (2, 4, 8, ... frames)
+  keeps the first packet latency low, then steady-state chunks amortize
+  dispatch.
+- The vocoder re-decodes `left_context` frames per chunk exactly like the
+  reference chunked_decode (modeling...v2.py:886-896) — the same 25-frame
+  left-context approximation the reference uses for long audio, applied at
+  streaming granularity.
+- Shapes are bucketed to a handful of (K, ctx) pairs -> a fixed set of
+  compiled programs after warmup.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecV2DecoderConfig, TalkerConfig
+from ..models.codec12.decoder import decode_frames as vocoder_decode
+from .generate import (DecodeConst, DecodeState, GenerationConfig,
+                       decode_chunk, init_decode_state)
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class StreamingConfig:
+    warmup_schedule: Tuple[int, ...] = (2, 4, 8, 16)
+    steady_chunk: int = 25
+    vocoder_left_context: int = 25
+
+
+@dataclass
+class StreamPacket:
+    """One emitted audio chunk."""
+
+    wav: np.ndarray            # (B, samples) float32
+    frame_start: int           # first frame index covered
+    frame_count: int           # frames covered
+    active_frames: np.ndarray  # (B,) valid frames within this packet
+    latency_s: float           # wall time since session start
+
+
+class StreamingSession:
+    """One batched streaming synthesis run."""
+
+    def __init__(self, talker_params: Params, talker_cfg: TalkerConfig,
+                 gen_cfg: GenerationConfig,
+                 vocoder_params: Params, vocoder_cfg: CodecV2DecoderConfig,
+                 stream_cfg: StreamingConfig = StreamingConfig()):
+        self.talker_params = talker_params
+        self.talker_cfg = talker_cfg
+        self.gen_cfg = gen_cfg
+        self.vocoder_params = vocoder_params
+        self.vocoder_cfg = vocoder_cfg
+        self.stream_cfg = stream_cfg
+        self._vocode = jax.jit(
+            lambda p, codes: vocoder_decode(p, vocoder_cfg, codes),
+            static_argnums=())
+
+    def _chunk_schedule(self, max_frames: int) -> Iterator[int]:
+        emitted = 0
+        for k in self.stream_cfg.warmup_schedule:
+            k = min(k, max_frames - emitted)
+            if k <= 0:
+                return
+            yield k
+            emitted += k
+        while emitted < max_frames:
+            k = min(self.stream_cfg.steady_chunk, max_frames - emitted)
+            yield k
+            emitted += k
+
+    def run(self, inputs_embeds: jax.Array, attn_mask: jax.Array,
+            trailing_text: jax.Array, tts_pad_embed: jax.Array,
+            key: jax.Array) -> Iterator[StreamPacket]:
+        """Generate and yield audio packets as they become available."""
+        cfg, gen_cfg = self.talker_cfg, self.gen_cfg
+        B, T, _ = inputs_embeds.shape
+        M = gen_cfg.max_new_tokens
+        max_frames = M - 1
+        S = T + M + 1
+        up = self.vocoder_cfg.total_upsample
+        ctx_max = self.stream_cfg.vocoder_left_context
+        Q = cfg.num_code_groups
+
+        t_start = time.time()
+        state, const = init_decode_state(
+            self.talker_params, cfg, gen_cfg, inputs_embeds, attn_mask,
+            trailing_text, tts_pad_embed, key, S)
+
+        history = np.zeros((B, Q, 0), np.int32)   # emitted code frames
+        emitted = 0
+        done_counts = np.zeros((B,), np.int64)
+
+        for k in self._chunk_schedule(max_frames):
+            state, frames, active = decode_chunk(
+                self.talker_params, cfg, gen_cfg, const, state, k)
+            frames_np = np.asarray(frames)          # (B, k, Q)
+            active_np = np.asarray(active)          # (B, k)
+
+            ctx = min(ctx_max, history.shape[-1])
+            chunk_codes = np.concatenate(
+                [history[:, :, history.shape[-1] - ctx:],
+                 np.clip(np.swapaxes(frames_np, 1, 2), 0, None)], axis=-1)
+            wav = np.asarray(self._vocode(self.vocoder_params,
+                                          jnp.asarray(chunk_codes)))
+            wav = wav[:, 0, ctx * up:]
+
+            active_counts = active_np.sum(axis=1)
+            yield StreamPacket(
+                wav=wav.astype(np.float32),
+                frame_start=emitted,
+                frame_count=k,
+                active_frames=active_counts,
+                latency_s=time.time() - t_start,
+            )
+            history = np.concatenate(
+                [history, np.clip(np.swapaxes(frames_np, 1, 2), 0, None)],
+                axis=-1)
+            emitted += k
+            done_counts = np.asarray(state.lengths)
+            if bool(np.asarray(state.done).all()):
+                break
+
+    def synthesize(self, inputs_embeds, attn_mask, trailing_text,
+                   tts_pad_embed, key) -> Tuple[List[np.ndarray], float]:
+        """Run the stream to completion; returns (per-sample wavs trimmed to
+        their generated lengths, first-packet latency in seconds)."""
+        up = self.vocoder_cfg.total_upsample
+        packets = []
+        first_latency = None
+        for pkt in self.run(inputs_embeds, attn_mask, trailing_text,
+                            tts_pad_embed, key):
+            if first_latency is None:
+                first_latency = pkt.latency_s
+            packets.append(pkt)
+        B = packets[0].wav.shape[0]
+        full = np.concatenate([p.wav for p in packets], axis=-1)
+        lengths = sum(p.active_frames for p in packets)
+        wavs = [full[b, :int(lengths[b]) * up] for b in range(B)]
+        return wavs, float(first_latency if first_latency is not None else 0.0)
