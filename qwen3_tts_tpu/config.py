@@ -333,6 +333,126 @@ class CodecV2Config(HashableConfig):
             return cls.from_dict(json.load(f))
 
 
+# ---------------------------------------------------------------------------
+# Codec V1 (25 Hz tokenizer)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True, eq=False)
+class DiTConfig(HashableConfig):
+    """DiT flow-matching mel decoder config.
+
+    Reference: configuration_qwen3_tts_tokenizer_v1.py:24-121.
+    """
+
+    hidden_size: int = 1024
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 16
+    ff_mult: int = 2
+    emb_dim: int = 512
+    head_dim: int = 64
+    rope_theta: float = 10000.0
+    block_size: int = 24
+    look_ahead_layers: Tuple[int, ...] = (10,)
+    look_backward_layers: Tuple[int, ...] = (0, 20)
+    repeats: int = 2
+    num_embeds: int = 8193
+    mel_dim: int = 80
+    enc_emb_dim: int = 192
+    enc_dim: int = 128
+    enc_channels: Tuple[int, ...] = (256, 256, 256, 256, 768)
+    enc_kernel_sizes: Tuple[int, ...] = (5, 3, 3, 3, 1)
+    enc_dilations: Tuple[int, ...] = (1, 2, 3, 4, 1)
+    enc_attention_channels: int = 64
+    enc_res2net_scale: int = 2
+    enc_se_channels: int = 64
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DiTConfig":
+        d = {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+        return cls(**_filter_kwargs(cls, d))
+
+
+@dataclass(frozen=True, eq=False)
+class BigVGANConfig(HashableConfig):
+    """BigVGAN vocoder config (reference: configuration...v1.py:124-162)."""
+
+    mel_dim: int = 80
+    upsample_initial_channel: int = 1536
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    upsample_rates: Tuple[int, ...] = (5, 3, 2, 2, 2, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (11, 7, 4, 4, 4, 4)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "BigVGANConfig":
+        d = dict(d)
+        for k in ("resblock_kernel_sizes", "upsample_rates",
+                  "upsample_kernel_sizes"):
+            if isinstance(d.get(k), list):
+                d[k] = tuple(d[k])
+        if isinstance(d.get("resblock_dilation_sizes"), list):
+            d["resblock_dilation_sizes"] = tuple(
+                tuple(x) for x in d["resblock_dilation_sizes"])
+        return cls(**_filter_kwargs(cls, d))
+
+
+@dataclass(frozen=True, eq=False)
+class WhisperVQEncoderConfig(HashableConfig):
+    """Whisper-VQ encoder config (reference: configuration...v1.py:195-277)."""
+
+    n_mels: int = 128
+    n_ctx: int = 1500
+    n_state: int = 1280
+    n_head: int = 20
+    n_layer: int = 32
+    n_window: int = 100
+    output_dim: int = 3584
+    audio_vq_type: str = "GRVQ"
+    audio_vq_layers: int = 6
+    audio_vq_codebook_size: int = 32768
+    audio_vq_codebook_dim: int = 1280
+    audio_vq_pe: bool = True
+    audio_vq_ds_rate: int = 2
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "WhisperVQEncoderConfig":
+        return cls(**_filter_kwargs(cls, d))
+
+
+@dataclass(frozen=True, eq=False)
+class CodecV1Config(HashableConfig):
+    """25 Hz tokenizer top config (reference: configuration...v1.py:280-324)."""
+
+    encoder_config: WhisperVQEncoderConfig = field(default_factory=WhisperVQEncoderConfig)
+    dit_config: DiTConfig = field(default_factory=DiTConfig)
+    bigvgan_config: BigVGANConfig = field(default_factory=BigVGANConfig)
+    input_sample_rate: int = 24000
+    output_sample_rate: int = 24000
+    decode_upsample_rate: int = 1920
+    encode_downsample_rate: int = 1920
+    model_type: str = "qwen3_tts_tokenizer_25hz"
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "CodecV1Config":
+        d = dict(d)
+        ec = d.get("encoder_config") or {}
+        if isinstance(ec, dict):
+            d["encoder_config"] = WhisperVQEncoderConfig.from_dict(ec)
+        dc = d.get("decoder_config") or {}
+        if isinstance(dc, dict):
+            d["dit_config"] = DiTConfig.from_dict(dc.get("dit_config") or {})
+            d["bigvgan_config"] = BigVGANConfig.from_dict(
+                dc.get("bigvgan_config") or {})
+        d.pop("decoder_config", None)
+        return cls(**_filter_kwargs(cls, d))
+
+    @classmethod
+    def from_json(cls, path: str) -> "CodecV1Config":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_dict(json.load(f))
+
+
 def load_config(model_dir: str):
     """Load a checkpoint directory's config.json and dispatch on model_type."""
     path = os.path.join(model_dir, "config.json")
@@ -341,4 +461,6 @@ def load_config(model_dir: str):
     mt = d.get("model_type", "")
     if mt == "qwen3_tts_tokenizer_12hz":
         return CodecV2Config.from_dict(d)
+    if mt == "qwen3_tts_tokenizer_25hz":
+        return CodecV1Config.from_dict(d)
     return TTSModelConfig.from_dict(d)

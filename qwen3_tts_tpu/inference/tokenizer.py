@@ -34,7 +34,9 @@ from ..weights import load_safetensors_dir
 
 @dataclasses.dataclass
 class EncodeOutput:
-    audio_codes: List[np.ndarray]  # each (T_i, Q)
+    audio_codes: List[np.ndarray]          # V2: (T_i, Q); V1: (T_i,)
+    xvectors: Optional[List[np.ndarray]] = None   # V1 only
+    ref_mels: Optional[List[np.ndarray]] = None   # V1 only
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_quantizers", "dtype"))
@@ -57,29 +59,53 @@ class Qwen3TTSTokenizer:
     once `models/codec25` lands (reference registers both; SURVEY §2.3)."""
 
     def __init__(self):
-        self.config: Optional[CodecV2Config] = None
+        self.config = None          # CodecV2Config | CodecV1Config
         self.enc_params = None
         self.dec_params = None
+        self.v1_model = None        # models.codec25.model.CodecV1Model
         self.chunk_size = 300
         self.left_context = 25
         self._compute_dtype = jnp.float32
+        self._fe_sampling_rate: Optional[int] = None
 
     # -- loading ----------------------------------------------------------
 
     @classmethod
     def from_pretrained(cls, model_dir: str, dtype=jnp.float32,
                         **kwargs) -> "Qwen3TTSTokenizer":
+        import os
+
+        from ..config import CodecV1Config
+
         inst = cls()
         cfg = load_config(model_dir)
-        if not isinstance(cfg, CodecV2Config):
-            raise ValueError(f"unsupported tokenizer config at {model_dir}")
         inst.config = cfg
-        tree = load_safetensors_dir(model_dir, dtype=dtype)
-        inst.enc_params = codec_encoder.prepare_encoder_params(
-            tree["encoder"], cfg.encoder_config)
-        inst.dec_params = codec_decoder.prepare_decoder_params(
-            tree["decoder"], cfg.decoder_config)
         inst._compute_dtype = dtype
+        if isinstance(cfg, CodecV2Config):
+            tree = load_safetensors_dir(model_dir, dtype=dtype)
+            inst.enc_params = codec_encoder.prepare_encoder_params(
+                tree["encoder"], cfg.encoder_config)
+            inst.dec_params = codec_decoder.prepare_decoder_params(
+                tree["decoder"], cfg.decoder_config)
+        elif isinstance(cfg, CodecV1Config):
+            from ..models.codec25.model import CodecV1Model, XVectorExtractor
+
+            tree = load_safetensors_dir(model_dir, dtype=dtype)
+            onnx_path = os.path.join(model_dir, "campplus.onnx")
+            xv = XVectorExtractor(onnx_path if os.path.exists(onnx_path)
+                                  else None)
+            inst.v1_model = CodecV1Model(cfg, tree, xv)
+            inst._fe_sampling_rate = 16000
+        else:
+            raise ValueError(f"unsupported tokenizer config at {model_dir}")
+        # feature-extractor sampling rate, if the checkpoint carries one
+        pre = os.path.join(model_dir, "preprocessor_config.json")
+        if os.path.exists(pre):
+            import json
+
+            with open(pre) as f:
+                inst._fe_sampling_rate = json.load(f).get(
+                    "sampling_rate", inst._fe_sampling_rate)
         return inst
 
     @classmethod
@@ -113,7 +139,7 @@ class Qwen3TTSTokenizer:
     # -- encode -----------------------------------------------------------
 
     def _normalize_audio_inputs(self, audios, sr: Optional[int]) -> List[np.ndarray]:
-        target_sr = self.get_input_sample_rate()
+        target_sr = self._fe_sampling_rate or self.get_input_sample_rate()
         if isinstance(audios, (str, np.ndarray)):
             audios = [audios]
         out = []
@@ -142,6 +168,11 @@ class Qwen3TTSTokenizer:
     def encode(self, audios, sr: Optional[int] = None,
                return_dict: bool = True):
         wavs = self._normalize_audio_inputs(audios, sr)
+        if self.v1_model is not None:
+            codes, xvectors, ref_mels = self.v1_model.encode(wavs)
+            out = EncodeOutput(audio_codes=codes, xvectors=xvectors,
+                               ref_mels=ref_mels)
+            return out if return_dict else (codes, xvectors, ref_mels)
         ds = self.get_encode_downsample_rate()
         lengths = [len(w) for w in wavs]
         max_len = max(lengths)
@@ -170,15 +201,27 @@ class Qwen3TTSTokenizer:
                                 str(np.dtype(self._compute_dtype)))
 
     def decode(self, encoded) -> Tuple[List[np.ndarray], int]:
+        xvectors = ref_mels = None
         if hasattr(encoded, "audio_codes"):
             codes_list = encoded.audio_codes
+            xvectors = getattr(encoded, "xvectors", None)
+            ref_mels = getattr(encoded, "ref_mels", None)
         elif isinstance(encoded, dict):
             codes_list = encoded["audio_codes"]
+            xvectors = encoded.get("xvectors")
+            ref_mels = encoded.get("ref_mels")
         elif isinstance(encoded, list):
             codes_list = [e["audio_codes"] for e in encoded]
+            if "xvectors" in encoded[0]:
+                xvectors = [e["xvectors"] for e in encoded]
+            if "ref_mels" in encoded[0]:
+                ref_mels = [e["ref_mels"] for e in encoded]
         else:
             raise TypeError(
                 "`encoded` must be an encode output, a dict, or a list of dicts.")
+
+        if self.v1_model is not None:
+            return self._decode_v1(codes_list, xvectors, ref_mels)
         if not isinstance(codes_list, (list, tuple)):
             t = np.asarray(codes_list)
             codes_list = [t] if t.ndim == 2 else list(t)
@@ -199,3 +242,28 @@ class Qwen3TTSTokenizer:
         wavs = [wav[i, :lengths[i] * up].astype(np.float32)
                 for i in range(len(codes_list))]
         return wavs, self.get_output_sample_rate()
+
+    def _decode_v1(self, codes_list, xvectors, ref_mels
+                   ) -> Tuple[List[np.ndarray], int]:
+        """25 Hz decode: pad codes with -1, stack x-vectors, pad ref mels
+        (reference qwen3_tts_tokenizer.py:331-355)."""
+        if xvectors is None or ref_mels is None:
+            raise ValueError("25Hz decode requires `xvectors` and `ref_mels`.")
+        if not isinstance(codes_list, (list, tuple)):
+            t = np.asarray(codes_list)
+            codes_list = [t] if t.ndim == 1 else list(t)
+        codes_list = [np.asarray(c).reshape(-1) for c in codes_list]
+        B = len(codes_list)
+        max_t = max(c.shape[0] for c in codes_list)
+        codes = np.full((B, max_t), -1, np.int64)
+        for i, c in enumerate(codes_list):
+            codes[i, :c.shape[0]] = c
+        xv = np.stack([np.asarray(x) for x in xvectors], axis=0)
+        mel_dim = np.asarray(ref_mels[0]).shape[-1]
+        max_r = max(np.asarray(m).shape[0] for m in ref_mels)
+        rm = np.zeros((B, max_r, mel_dim), np.float32)
+        for i, m in enumerate(ref_mels):
+            m = np.asarray(m)
+            rm[i, :m.shape[0]] = m
+        wavs = self.v1_model.decode(codes, xv, rm)
+        return [w.astype(np.float32) for w in wavs], self.get_output_sample_rate()

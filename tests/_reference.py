@@ -168,6 +168,23 @@ def load_talker_config():
                                  "ref_models")
 
 
+def load_tokenizer_v1():
+    """Reference 25Hz tokenizer modeling module (stubs sox/onnxruntime/
+    torchaudio which its vq deps import)."""
+    _stub_audio_deps()
+    _install_stub("onnxruntime", {
+        "SessionOptions": object, "InferenceSession": object,
+        "GraphOptimizationLevel": type("G", (), {"ORT_ENABLE_ALL": 0})})
+    _install_stub("torchaudio")
+    _install_stub("torchaudio.compliance")
+    kaldi = _install_stub("torchaudio.compliance.kaldi", {"fbank": None})
+    sys.modules["torchaudio.compliance"].kaldi = kaldi
+    load_reference_module("qwen_tts/core/tokenizer_25hz",
+                          "configuration_qwen3_tts_tokenizer_v1", "ref_tok25")
+    return load_reference_module("qwen_tts/core/tokenizer_25hz",
+                                 "modeling_qwen3_tts_tokenizer_v1", "ref_tok25")
+
+
 def load_finetune_dataset():
     """Load finetuning/dataset.py with its `qwen_tts.core.models` imports
     aliased to the already-loaded ref_models modules."""
