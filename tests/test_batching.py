@@ -1,0 +1,120 @@
+"""Continuous batching engine: per-slot decode must reproduce the one-shot
+generation (greedy), including requests admitted mid-stream."""
+
+import numpy as np
+import pytest
+
+from tests._reference import reference_available
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+def _setup(M=8):
+    import jax
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.generate import GenerationConfig
+    from tests.test_talker import _make_reference_talker, _to_jax, _random_inputs
+
+    ref, rcfg, model = _make_reference_talker()
+    params, cfg = _to_jax(model)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=M,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False),
+    )
+    return params, cfg, gen_cfg
+
+
+def _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad):
+    import jax
+
+    from qwen3_tts_tpu.runtime.generate import generate_frames
+
+    out = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
+                          jax.random.PRNGKey(0))
+    codes, lens = np.asarray(out.codes), np.asarray(out.lengths)
+    return [codes[b, :lens[b]] for b in range(codes.shape[0])]
+
+
+@requires_reference
+def test_engine_matches_oneshot_greedy():
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    embeds, mask, trailing, pad = _random_inputs(21)
+
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=3,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+    for b in range(2):
+        # strip left padding: engine requests are unpadded
+        n = int(mask[b].sum())
+        engine.submit(Request(
+            request_id=b,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1, -n:] if n < embeds.shape[1]
+                                      else embeds[b:b + 1]),
+            attn_mask=jnp.asarray(mask[b:b + 1, -n:] if n < mask.shape[1]
+                                  else mask[b:b + 1]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=gen_cfg.max_new_tokens - 1,
+        ))
+    completions = engine.run_until_drained()
+    got = {c.request_id: c.codes for c in completions}
+    assert set(got) == {0, 1}
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], want[b])
+
+
+@requires_reference
+def test_engine_mid_stream_admission():
+    """A request admitted while another is decoding must still match its
+    standalone generation."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    embeds, mask, trailing, pad = _random_inputs(33)
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+
+    def make_req(b):
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        return Request(request_id=b,
+                       inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+                       attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+                       trailing=jnp.asarray(trailing[b:b + 1]),
+                       trailing_len=trailing.shape[1],
+                       tts_pad=jnp.asarray(pad),
+                       max_frames=gen_cfg.max_new_tokens - 1)
+
+    engine.submit(make_req(0))
+    completions = []
+    completions.extend(engine.step())   # tick 1: only request 0
+    completions.extend(engine.step())   # tick 2
+    engine.submit(make_req(1))          # joins mid-stream
+    for _ in range(40):
+        completions.extend(engine.step())
+        if len(completions) == 2:
+            break
+    got = {c.request_id: c.codes for c in completions}
+    assert set(got) == {0, 1}
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], want[b])
