@@ -122,11 +122,15 @@ def prepare_talker_params(params: Params, cfg: TalkerConfig) -> Params:
 
 def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
                   cos: jax.Array, sin: jax.Array, mask_bias: jax.Array,
-                  cache: KVCache, offset) -> Tuple[jax.Array, KVCache]:
-    """Run all layers. h: (B, T, hidden); mask_bias: (B, 1, T, S) additive.
+                  cache: KVCache, offset,
+                  attend_len: Optional[int] = None) -> Tuple[jax.Array, KVCache]:
+    """Run all layers. h: (B, T, hidden); mask_bias: (B, 1, T, S') additive
+    where S' = attend_len or the full cache size.
 
-    Writes new K/V at [offset, offset+T) and attends over the full cache
-    buffer (invalid slots masked by mask_bias).
+    Writes new K/V at [offset, offset+T) and attends over the first
+    `attend_len` cache slots (a static host-chosen bucket covering the
+    current sequence length — avoids streaming the whole preallocated buffer
+    from HBM every decode step; invalid slots masked by mask_bias).
     """
     B, T, _ = h.shape
 
@@ -148,7 +152,9 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
         kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, offset, 0, 0))
         vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, offset, 0, 0))
 
-        o = attention(q, kc.astype(x.dtype), vc.astype(x.dtype), mask_bias)
+        k_att = kc if attend_len is None else kc[:, :attend_len]
+        v_att = vc if attend_len is None else vc[:, :attend_len]
+        o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
         o = o.reshape(B, T, dims.heads * dims.head_dim) @ attn["o_proj"]["weight"].T.astype(x.dtype)
         hh = hh + o
 
@@ -223,23 +229,26 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
 
 def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
                        position: jax.Array, cache_index, kv_valid: jax.Array,
-                       cache: KVCache) -> Tuple[jax.Array, jax.Array, KVCache]:
+                       cache: KVCache, attend_len: Optional[int] = None
+                       ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """One decode step. embed: (B, 1, H); position: (B,) rope position;
     cache_index: scalar slot to write; kv_valid: (B, S) valid slots incl. the
-    new one.  Returns (logits (B, V), hidden (B,1,H), cache)."""
+    new one; attend_len: optional static bucket bounding the attended window.
+    Returns (logits (B, V), hidden (B,1,H), cache)."""
     B = embed.shape[0]
-    S = cache.k.shape[2]
+    S = cache.k.shape[2] if attend_len is None else attend_len
     dims = StackDims.from_talker(cfg)
 
     slot = jnp.arange(S)[None, :]
-    ok = (slot <= cache_index) & kv_valid
+    ok = (slot <= cache_index) & kv_valid[:, :S]
     bias = mask_to_bias(ok[:, None, None, :])
 
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
     cos, sin = rope_tables(position[:, None], inv_freq)
 
     h, cache = decoder_stack(params["layers"], params["norm"], dims, embed,
-                             cos, sin, bias, cache, cache_index)
+                             cos, sin, bias, cache, cache_index,
+                             attend_len=attend_len)
     logits = (h[:, 0].astype(jnp.float32)
               @ params["codec_head"].T.astype(jnp.float32))
     return logits, h, cache

@@ -124,7 +124,8 @@ def init_decode_state(params: Params, cfg: TalkerConfig,
 
 
 def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
-               const: DecodeConst, state: DecodeState
+               const: DecodeConst, state: DecodeState,
+               attend_len: Optional[int] = None
                ) -> Tuple[DecodeState, jax.Array, jax.Array, jax.Array]:
     """One frame: returns (state', frame (B, Q), hidden_row (B, H),
     active (B,) — whether the frame is valid output)."""
@@ -161,7 +162,8 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
                                       (slot <= cache_index))
     position = const.seq_lens + state.t
     logits, last_hidden, cache = talker_decode_step(
-        params, cfg, embed, position, cache_index, kv_valid, state.cache)
+        params, cfg, embed, position, cache_index, kv_valid, state.cache,
+        attend_len=attend_len)
 
     ban = jnp.full((B,), state.t + 1 < gen_cfg.min_new_tokens)
     next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
@@ -174,17 +176,23 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     return new_state, frame, last_hidden[:, 0], active
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_frames"))
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len"))
 def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
-                 const: DecodeConst, state: DecodeState, num_frames: int
+                 const: DecodeConst, state: DecodeState, num_frames: int,
+                 attend_len: Optional[int] = None
                  ) -> Tuple[DecodeState, jax.Array, jax.Array]:
     """Run up to `num_frames` frame steps (streaming granule).
+
+    `attend_len` is a static host-chosen bucket covering the sequence length
+    reached by the end of this chunk — the attention window reads only that
+    prefix of the KV buffer.
 
     Returns (state, frames (B, K, Q), active (B, K)).  Steps past EOS produce
     inactive rows.
     """
     def body(state, _):
-        state, frame, _, active = frame_step(params, cfg, gen_cfg, const, state)
+        state, frame, _, active = frame_step(params, cfg, gen_cfg, const,
+                                             state, attend_len=attend_len)
         return state, (frame, active)
 
     state, (frames, active) = jax.lax.scan(body, state, None,

@@ -109,8 +109,12 @@ class StreamingSession:
         done_counts = np.zeros((B,), np.int64)
 
         for k in self._chunk_schedule(max_frames):
+            # static attention bucket covering this chunk's final length
+            needed = T + emitted + k + 1
+            attend = min(S, ((needed + 255) // 256) * 256)
             state, frames, active = decode_chunk(
-                self.talker_params, cfg, gen_cfg, const, state, k)
+                self.talker_params, cfg, gen_cfg, const, state, k,
+                attend_len=attend)
             frames_np = np.asarray(frames)          # (B, k, Q)
             active_np = np.asarray(active)          # (B, k)
 
