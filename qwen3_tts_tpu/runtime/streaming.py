@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -40,7 +41,7 @@ Params = Dict[str, Any]
 
 @dataclass(frozen=True)
 class StreamingConfig:
-    warmup_schedule: Tuple[int, ...] = (2, 4, 8, 16)
+    warmup_schedule: Tuple[int, ...] = (1, 2, 4, 8, 16)
     steady_chunk: int = 25
     vocoder_left_context: int = 25
 
@@ -69,9 +70,18 @@ class StreamingSession:
         self.vocoder_params = vocoder_params
         self.vocoder_cfg = vocoder_cfg
         self.stream_cfg = stream_cfg
-        self._vocode = jax.jit(
-            lambda p, codes: vocoder_decode(p, vocoder_cfg, codes),
-            static_argnums=())
+
+        @partial(jax.jit, static_argnames=("size", "ctx"))
+        def _vocode_slice(p, codes_buf, start, size, ctx):
+            """Slice [start, start+size) frames from the device code history,
+            decode, drop the ctx left-context samples."""
+            B, Q, _ = codes_buf.shape
+            chunk = jax.lax.dynamic_slice(codes_buf, (0, 0, start), (B, Q, size))
+            wav = vocoder_decode(p, vocoder_cfg, jnp.clip(chunk, 0, None))
+            up = vocoder_cfg.total_upsample
+            return wav[:, 0, ctx * up:]
+
+        self._vocode_slice = _vocode_slice
 
     def _chunk_schedule(self, max_frames: int) -> Iterator[int]:
         emitted = 0
@@ -104,9 +114,10 @@ class StreamingSession:
             self.talker_params, cfg, gen_cfg, inputs_embeds, attn_mask,
             trailing_text, tts_pad_embed, key, S)
 
-        history = np.zeros((B, Q, 0), np.int32)   # emitted code frames
+        # device-resident code history: each talker chunk feeds the vocoder
+        # without a host round-trip; only finished audio crosses to the host
+        codes_buf = jnp.zeros((B, Q, max_frames), jnp.int32)
         emitted = 0
-        done_counts = np.zeros((B,), np.int64)
 
         for k in self._chunk_schedule(max_frames):
             # static attention bucket covering this chunk's final length
@@ -115,30 +126,23 @@ class StreamingSession:
             state, frames, active = decode_chunk(
                 self.talker_params, cfg, gen_cfg, const, state, k,
                 attend_len=attend)
-            frames_np = np.asarray(frames)          # (B, k, Q)
-            active_np = np.asarray(active)          # (B, k)
+            codes_buf = jax.lax.dynamic_update_slice(
+                codes_buf, jnp.swapaxes(frames, 1, 2), (0, 0, emitted))
 
-            ctx = min(ctx_max, history.shape[-1])
-            chunk_codes = np.concatenate(
-                [history[:, :, history.shape[-1] - ctx:],
-                 np.clip(np.swapaxes(frames_np, 1, 2), 0, None)], axis=-1)
-            wav = np.asarray(self._vocode(self.vocoder_params,
-                                          jnp.asarray(chunk_codes)))
-            wav = wav[:, 0, ctx * up:]
+            ctx = min(ctx_max, emitted)
+            wav_dev = self._vocode_slice(self.vocoder_params, codes_buf,
+                                         emitted - ctx, ctx + k, ctx)
+            wav = np.asarray(wav_dev)              # one D2H sync per packet
+            active_np = np.asarray(active)
 
-            active_counts = active_np.sum(axis=1)
             yield StreamPacket(
                 wav=wav.astype(np.float32),
                 frame_start=emitted,
                 frame_count=k,
-                active_frames=active_counts,
+                active_frames=active_np.sum(axis=1),
                 latency_s=time.time() - t_start,
             )
-            history = np.concatenate(
-                [history, np.clip(np.swapaxes(frames_np, 1, 2), 0, None)],
-                axis=-1)
             emitted += k
-            done_counts = np.asarray(state.lengths)
             if bool(np.asarray(state.done).all()):
                 break
 
