@@ -1,0 +1,60 @@
+"""Pallas kernel correctness (interpret mode on CPU) vs the XLA reference
+attention path."""
+
+import numpy as np
+import pytest
+
+
+def _want(q, k, v, valid):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.attention import attention
+
+    return np.asarray(attention(
+        jnp.asarray(q)[:, None], jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(valid)[:, None, None, :]))[:, 0]
+
+
+def test_decode_attention_matches_xla():
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.pallas.decode_attention import decode_attention
+
+    rng = np.random.default_rng(0)
+    B, S, Hq, Hkv, D = 2, 160, 8, 4, 128
+    q = rng.normal(0, 1, size=(B, Hq, D)).astype(np.float32)
+    k = rng.normal(0, 1, size=(B, S, Hkv, D)).astype(np.float32)
+    v = rng.normal(0, 1, size=(B, S, Hkv, D)).astype(np.float32)
+    start = np.array([0, 3], np.int32)
+    end = np.array([97, 120], np.int32)
+    valid = (np.arange(S)[None, :] >= start[:, None]) & \
+            (np.arange(S)[None, :] < end[:, None])
+
+    want = _want(q, k, v, valid)
+    got = np.asarray(decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(start), jnp.asarray(end), block_size=64, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_decode_attention_single_block_and_bf16():
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.pallas.decode_attention import decode_attention
+
+    rng = np.random.default_rng(1)
+    B, S, Hq, Hkv, D = 1, 48, 4, 2, 64
+    q = rng.normal(0, 1, size=(B, Hq, D)).astype(np.float32)
+    k = rng.normal(0, 1, size=(B, S, Hkv, D)).astype(np.float32)
+    v = rng.normal(0, 1, size=(B, S, Hkv, D)).astype(np.float32)
+    start = np.array([0], np.int32)
+    end = np.array([40], np.int32)
+    valid = (np.arange(S)[None, :] >= start[:, None]) & \
+            (np.arange(S)[None, :] < end[:, None])
+
+    want = _want(q, k, v, valid)
+    got = np.asarray(decode_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(start), jnp.asarray(end),
+        block_size=512, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
