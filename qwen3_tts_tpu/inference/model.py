@@ -49,6 +49,35 @@ class VoiceClonePromptItem:
     ref_text: Optional[str] = None
 
 
+def save_voice_clone_prompts(path: str,
+                             items: List["VoiceClonePromptItem"]) -> None:
+    """Persist prompt items as .npz (the reference demo saves torch .pt
+    payloads, qwen_tts/cli/demo.py:516-522)."""
+    payload: Dict[str, Any] = {"n": np.asarray(len(items))}
+    for i, it in enumerate(items):
+        payload[f"spk_{i}"] = np.asarray(it.ref_spk_embedding)
+        payload[f"xvec_{i}"] = np.asarray(it.x_vector_only_mode)
+        payload[f"icl_{i}"] = np.asarray(it.icl_mode)
+        payload[f"text_{i}"] = np.asarray(it.ref_text or "")
+        if it.ref_code is not None:
+            payload[f"code_{i}"] = np.asarray(it.ref_code)
+    np.savez(path, **payload)
+
+
+def load_voice_clone_prompts(path: str) -> List["VoiceClonePromptItem"]:
+    data = np.load(path, allow_pickle=False)
+    items = []
+    for i in range(int(data["n"])):
+        text = str(data[f"text_{i}"])
+        items.append(VoiceClonePromptItem(
+            ref_code=data[f"code_{i}"] if f"code_{i}" in data else None,
+            ref_spk_embedding=data[f"spk_{i}"],
+            x_vector_only_mode=bool(data[f"xvec_{i}"]),
+            icl_mode=bool(data[f"icl_{i}"]),
+            ref_text=text or None))
+    return items
+
+
 class Qwen3TTSModel:
     def __init__(self, config: TTSModelConfig, talker_params,
                  speaker_encoder_params=None, speech_tokenizer=None,

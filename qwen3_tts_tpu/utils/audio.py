@@ -86,7 +86,7 @@ def write_wav(path: str, audio: np.ndarray, sr: int) -> None:
     if audio.ndim > 1:
         audio = audio.reshape(audio.shape[0], -1)
     pcm = np.clip(audio, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    pcm = np.round(pcm * 32767.0).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(1 if pcm.ndim == 1 else pcm.shape[1])
         w.setsampwidth(2)

@@ -1,0 +1,111 @@
+"""Peripheral subsystems: voice-clone prompt persistence, processor wrapper,
+orbax train-state resume, audio I/O, profiling utils, CLI parser."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_voice_clone_prompt_roundtrip(tmp_path):
+    from qwen3_tts_tpu.inference.model import (VoiceClonePromptItem,
+                                               load_voice_clone_prompts,
+                                               save_voice_clone_prompts)
+
+    rng = np.random.default_rng(0)
+    items = [
+        VoiceClonePromptItem(ref_code=rng.integers(0, 100, size=(7, 16)),
+                             ref_spk_embedding=rng.normal(size=(32,)).astype(np.float32),
+                             x_vector_only_mode=False, icl_mode=True,
+                             ref_text="hello"),
+        VoiceClonePromptItem(ref_code=None,
+                             ref_spk_embedding=rng.normal(size=(32,)).astype(np.float32),
+                             x_vector_only_mode=True, icl_mode=False,
+                             ref_text=None),
+    ]
+    path = str(tmp_path / "prompt.npz")
+    save_voice_clone_prompts(path, items)
+    back = load_voice_clone_prompts(path)
+    assert len(back) == 2
+    np.testing.assert_array_equal(back[0].ref_code, items[0].ref_code)
+    np.testing.assert_allclose(back[0].ref_spk_embedding,
+                               items[0].ref_spk_embedding)
+    assert back[0].ref_text == "hello" and back[0].icl_mode
+    assert back[1].ref_code is None and back[1].x_vector_only_mode
+
+
+def test_wav_roundtrip(tmp_path):
+    from qwen3_tts_tpu.utils.audio import read_wav, resample, write_wav
+
+    rng = np.random.default_rng(0)
+    wav = (0.5 * rng.normal(size=(2400,))).clip(-1, 1).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, wav, 24000)
+    back, sr = read_wav(path)
+    assert sr == 24000
+    np.testing.assert_allclose(back, wav, atol=1.0 / 16384)
+
+    down = resample(wav, 24000, 16000)
+    assert abs(len(down) - 1600) <= 1
+
+
+def test_train_state_resume(tmp_path):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.finetune.checkpoint import (latest_step,
+                                                   restore_train_state,
+                                                   save_train_state)
+
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+    opt_state = {"m": jnp.ones(3)}
+    d = str(tmp_path / "ts")
+    os.makedirs(d)
+    save_train_state(d, 10, params, opt_state)
+    save_train_state(d, 20, params, opt_state)
+    assert latest_step(d) == 20
+    p, o, s = restore_train_state(d)
+    assert s == 20
+    np.testing.assert_array_equal(np.asarray(p["w"]), np.arange(6).reshape(2, 3))
+
+
+def test_profiling_timers():
+    from qwen3_tts_tpu.utils.profiling import FirstPacketMeter, StageTimers
+
+    t = StageTimers()
+    with t.stage("prefill"):
+        pass
+    t.add("decode", 0.01)
+    t.add("decode", 0.02)
+    s = t.summary()
+    assert s["decode"]["count"] == 2
+    assert "decode" in t.report()
+
+    m = FirstPacketMeter()
+    m.observe(0.08)
+    m.observe(0.12)
+    assert 80 <= m.p50() <= 120
+
+
+def test_cli_parser_surface():
+    from qwen3_tts_tpu.cli.demo import build_parser
+
+    args = build_parser().parse_args(
+        ["ckpt", "--port", "9000", "--dtype", "float32", "--top-k", "5",
+         "--no-sample"])
+    assert args.checkpoint == "ckpt"
+    assert args.port == 9000
+    from qwen3_tts_tpu.cli.demo import _gen_overrides
+
+    ov = _gen_overrides(args)
+    assert ov == {"top_k": 5, "do_sample": False}
+
+
+def test_kaldi_fbank_shape():
+    from qwen3_tts_tpu.utils.kaldi import fbank
+
+    rng = np.random.default_rng(0)
+    wav = rng.normal(0, 0.1, size=(16000,)).astype(np.float32)
+    feats = fbank(wav, num_mel_bins=80)
+    assert feats.shape == (1 + (16000 - 400) // 160, 80)
+    assert np.isfinite(feats).all()
