@@ -109,9 +109,12 @@ class Qwen3TTSModel:
         safetensors + speech_tokenizer/ subdir + generation_config.json).
 
         Reference: Qwen3TTSForConditionalGeneration.from_pretrained
-        (modeling_qwen3_tts.py:1855-1938) minus hub downloads — local dirs
-        (or pre-synced HF caches) only.
+        (modeling_qwen3_tts.py:1855-1938). HF repo ids download via
+        huggingface_hub when the path is not a local directory.
         """
+        from ..weights import resolve_checkpoint_dir
+
+        model_dir = resolve_checkpoint_dir(model_dir)
         config = load_config(model_dir)
         if not isinstance(config, TTSModelConfig):
             raise ValueError(f"{model_dir} is not a qwen3_tts checkpoint")

@@ -76,7 +76,9 @@ class Qwen3TTSTokenizer:
         import os
 
         from ..config import CodecV1Config
+        from ..weights import resolve_checkpoint_dir
 
+        model_dir = resolve_checkpoint_dir(model_dir)
         inst = cls()
         cfg = load_config(model_dir)
         inst.config = cfg

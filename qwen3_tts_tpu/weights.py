@@ -80,6 +80,22 @@ def _load_safetensors_file(path: str) -> Dict[str, np.ndarray]:
     return st_numpy.load_file(path)
 
 
+def resolve_checkpoint_dir(name_or_path: str,
+                           allow_patterns=None) -> str:
+    """Return a local checkpoint directory; download an HF repo id via
+    huggingface_hub when the path does not exist locally (reference:
+    download_weights_from_hf_specific, modeling_qwen3_tts.py:55-92)."""
+    if os.path.isdir(name_or_path):
+        return name_or_path
+    try:
+        from huggingface_hub import snapshot_download
+    except ImportError as e:
+        raise FileNotFoundError(
+            f"{name_or_path} is not a local directory and huggingface_hub "
+            "is unavailable to download it") from e
+    return snapshot_download(name_or_path, allow_patterns=allow_patterns)
+
+
 def load_safetensors_dir(model_dir: str, dtype=None,
                          key_filter: Optional[str] = None) -> Dict[str, Any]:
     """Load all *.safetensors in a checkpoint dir into a nested jnp pytree.
