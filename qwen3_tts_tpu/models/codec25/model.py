@@ -26,6 +26,22 @@ from .mel import bigvgan_ref_mel
 
 Params = Dict[str, Any]
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "guidance_scale",
+                                   "sway_coefficient"))
+def _dit_sample_jit(params, cfg, codes, xvectors, ref_mels, noise, num_steps,
+                    guidance_scale, sway_coefficient):
+    return dit_sample(params, cfg, codes, xvectors, ref_mels, noise,
+                      num_steps=num_steps, guidance_scale=guidance_scale,
+                      sway_coefficient=sway_coefficient)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _bigvgan_jit(params, cfg, mel):
+    return bigvgan_forward(params, cfg, mel)
+
 
 class XVectorExtractor:
     """CAM++ speaker vector via onnxruntime (CPU), plus BigVGAN-style
@@ -127,11 +143,13 @@ class CodecV1Model:
         T = codes.shape[1] * dit_cfg.repeats
         noise = jax.random.normal(key, (codes.shape[0], T, dit_cfg.mel_dim),
                                   jnp.float32)
-        mel = dit_sample(self.params["decoder"]["dit"], dit_cfg,
-                         jnp.asarray(codes), jnp.asarray(xvectors),
-                         jnp.asarray(ref_mels), noise,
-                         num_steps=num_steps, guidance_scale=guidance_scale,
-                         sway_coefficient=sway_coefficient)
-        wav = np.asarray(bigvgan_forward(self.params["decoder"]["bigvgan"],
-                                         self.config.bigvgan_config, mel))
+        # jit per shape: DiT block-local attention with look-ahead layers
+        # makes end-padding non-neutral, so lengths are not bucketed
+        mel = _dit_sample_jit(self.params["decoder"]["dit"], dit_cfg,
+                              jnp.asarray(codes), jnp.asarray(xvectors),
+                              jnp.asarray(ref_mels), noise,
+                              num_steps, float(guidance_scale),
+                              float(sway_coefficient))
+        wav = np.asarray(_bigvgan_jit(self.params["decoder"]["bigvgan"],
+                                      self.config.bigvgan_config, mel))
         return [wav[i, :lengths[i]] for i in range(wav.shape[0])]
