@@ -135,3 +135,84 @@ def test_state_dict_roundtrip():
     assert set(sd.keys()) == set(want.keys())
     for k in want:
         np.testing.assert_array_equal(sd[k], want[k], err_msg=k)
+
+
+@requires_reference
+def test_sft_checkpoint_rewrite_and_reload(tmp_path):
+    """The per-epoch save path: rewrite config to custom_voice with the new
+    speaker at row 3000, bake the speaker embedding, reload via the public
+    API and synthesize with the learned speaker."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from qwen3_tts_tpu.weights import save_safetensors, talker_params_to_state_dict
+    from tests.test_inference_api import FakeTokenizer, tiny_checkpoint  # noqa: F401
+
+    # build the base checkpoint via the shared fixture machinery
+    import tests.test_inference_api as tia
+    import json
+    import shutil
+
+    base = tmp_path / "base"
+    # reuse fixture logic manually (fixture is module-scoped elsewhere)
+    from safetensors.torch import save_file
+    from tests.test_pipeline_parity import MODEL_TINY, _make_reference_model
+    from tests.test_codec12_decoder import _make_reference_decoder
+    from tests.test_codec12_encoder import _make_reference_encoder
+    import torch, os
+
+    _, rcfg, model_t = _make_reference_model(model_type="custom_voice")
+    base.mkdir()
+    save_file({k: v.contiguous() for k, v in model_t.state_dict().items()},
+              str(base / "model.safetensors"))
+    cfg_json = dict(MODEL_TINY); cfg_json["model_type"] = "qwen3_tts"
+    json.dump(cfg_json, open(base / "config.json", "w"))
+    json.dump({"do_sample": False, "subtalker_dosample": False,
+               "max_new_tokens": 5}, open(base / "generation_config.json", "w"))
+    tok_dir = base / "speech_tokenizer"; os.makedirs(tok_dir)
+    _, enc_model = _make_reference_encoder()
+    _, _, dec_model = _make_reference_decoder()
+    tok_sd = {f"encoder.{k}": v.contiguous() for k, v in enc_model.state_dict().items()}
+    tok_sd.update({f"decoder.{k}": v.contiguous() for k, v in dec_model.state_dict().items()})
+    save_file(tok_sd, str(tok_dir / "model.safetensors"))
+    from tests.test_codec12_decoder import TINY as DEC_TINY
+    from tests.test_codec12_encoder import TINY as ENC_TINY
+    json.dump({"model_type": "qwen3_tts_tokenizer_12hz",
+               "encoder_config": dict(ENC_TINY),
+               "decoder_config": {k: list(v) if isinstance(v, tuple) else v
+                                  for k, v in DEC_TINY.items()},
+               "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
+               "input_sample_rate": ENC_TINY["sampling_rate"],
+               "output_sample_rate": 1000, "decode_upsample_rate": 64,
+               "encode_downsample_rate": 16},
+              open(tok_dir / "config.json", "w"))
+
+    model = Qwen3TTSModel.from_pretrained(str(base), dtype=jnp.float32)
+
+    # ---- emulate finetune/sft.py per-epoch save (reference sft_12hz.py:126-158)
+    out_dir = tmp_path / "epoch0"
+    shutil.copytree(base, out_dir)
+    cfg_dict = json.load(open(base / "config.json"))
+    cfg_dict["tts_model_type"] = "custom_voice"
+    cfg_dict["talker_config"]["spk_id"] = {"newspeaker": 1030}
+    cfg_dict["talker_config"]["spk_is_dialect"] = {"newspeaker": False}
+    json.dump(cfg_dict, open(out_dir / "config.json", "w"))
+
+    sd = talker_params_to_state_dict(model.talker_params)
+    spk_vec = np.full((MODEL_TINY["talker_config"]["hidden_size"],), 0.05,
+                      np.float32)
+    emb = sd["talker.model.codec_embedding.weight"].copy()
+    emb[1030] = spk_vec
+    sd["talker.model.codec_embedding.weight"] = emb
+    save_safetensors(str(out_dir / "model.safetensors"),
+                     {k: np.asarray(v, np.float32) for k, v in sd.items()})
+
+    tuned = Qwen3TTSModel.from_pretrained(str(out_dir), dtype=jnp.float32)
+    tuned.processor = FakeTokenizer()
+    assert tuned.get_supported_speakers() == ["newspeaker"]
+    np.testing.assert_allclose(
+        np.asarray(tuned.talker_params["codec_embedding"][1030]), spk_vec)
+    wavs, sr = tuned.generate_custom_voice(text="hi there friend",
+                                           speaker="newspeaker", seed=0)
+    assert np.isfinite(wavs[0]).all()
