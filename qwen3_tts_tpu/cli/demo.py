@@ -23,7 +23,7 @@ import io
 import json
 import sys
 import threading
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -43,7 +43,6 @@ def main(argv=None):
 
     import optax
 
-    from ..config import load_config
     from ..inference.model import Qwen3TTSModel
     from ..models.speaker_encoder import speaker_encoder_forward
     from ..finetune.data import TTSDataset

@@ -8,7 +8,7 @@ loaded from the checkpoint directory.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Union
+from typing import List, Optional, Union
 
 import numpy as np
 

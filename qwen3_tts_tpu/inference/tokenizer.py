@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ import numpy as np
 from ..config import CodecV2Config, load_config
 from ..models.codec12 import decoder as codec_decoder
 from ..models.codec12 import encoder as codec_encoder
-from ..utils.audio import AudioLike, load_audio, resample, to_mono
+from ..utils.audio import load_audio, resample, to_mono
 from ..weights import load_safetensors_dir
 
 

@@ -22,7 +22,6 @@ an extra `_codebooks` entry added by `prepare_decoder_params`.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax

@@ -17,7 +17,7 @@ modeling_qwen3_tts_tokenizer_v1.py:1071-1226) in JAX:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ import numpy as np
 
 from ...config import DiTConfig, SpeakerEncoderConfig
 from ...ops.attention import attention, mask_to_bias
-from ...ops.norms import layer_norm
 from ..speaker_encoder import speaker_encoder_forward
 
 Params = Dict[str, Any]

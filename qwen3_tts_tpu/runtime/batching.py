@@ -20,10 +20,9 @@ mini inference server (SURVEY.md §7 north star):
 from __future__ import annotations
 
 import queue
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Callable, Dict, List, NamedTuple, Optional, Tuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +33,7 @@ from ..models.talker import (KVCache, StackDims, code_predictor_frame,
                              decoder_stack)
 from ..ops.attention import mask_to_bias
 from ..ops.rope import default_inv_freq, rope_tables
-from ..ops.sampling import SamplingParams, process_and_sample
+from ..ops.sampling import process_and_sample
 from .generate import GenerationConfig, suppress_mask_for
 
 Params = Dict[str, Any]

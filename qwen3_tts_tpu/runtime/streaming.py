@@ -23,9 +23,9 @@ vocoder after full generation.  Here streaming is real:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,8 +33,7 @@ import numpy as np
 
 from ..config import CodecV2DecoderConfig, TalkerConfig
 from ..models.codec12.decoder import decode_frames as vocoder_decode
-from .generate import (DecodeConst, DecodeState, GenerationConfig,
-                       decode_chunk, init_decode_state)
+from .generate import GenerationConfig, decode_chunk, init_decode_state
 
 Params = Dict[str, Any]
 

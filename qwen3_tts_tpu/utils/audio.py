@@ -14,7 +14,7 @@ import math
 import os
 import struct
 import wave
-from typing import List, Optional, Tuple, Union
+from typing import List, Tuple, Union
 
 import numpy as np
 

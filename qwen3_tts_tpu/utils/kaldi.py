@@ -11,8 +11,6 @@ Nyquist), log with epsilon floor.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 EPSILON = 1.1920928955078125e-07  # kaldi float epsilon
