@@ -244,6 +244,63 @@ class Qwen3TTSModel:
         lens = np.asarray(out.lengths)
         return [codes[b, :lens[b]] for b in range(len(specs))]
 
+    def _stream_run(self, specs: List[PromptSpec], gen_cfg: GenerationConfig,
+                    seed: Optional[int] = None):
+        """Streaming counterpart of _run: yields (wav_chunk (B, samples), sr)
+        packets as the dual-track session produces them."""
+        from ..runtime.streaming import StreamingSession
+
+        tok = self.speech_tokenizer
+        if tok is None or tok.dec_params is None:
+            raise RuntimeError("streaming requires a loaded 12Hz speech "
+                               "tokenizer (vocoder)")
+        tc = self.config.talker_config
+        prompts = [build_prompt(self.talker_params, tc, self.config, s)
+                   for s in specs]
+        embeds, mask, trailing, pad = batch_prompts(prompts, bucket=32)
+        session = StreamingSession(self.talker_params, tc, gen_cfg,
+                                   tok.dec_params, tok.config.decoder_config)
+        key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None
+                                 else seed)
+        sr = tok.get_output_sample_rate()
+        for pkt in session.run(embeds, mask, trailing, pad, key):
+            yield pkt.wav, sr
+
+    def stream_custom_voice(self, text, speaker, language=None, instruct=None,
+                            seed: Optional[int] = None, **kwargs):
+        """Streaming custom-voice synthesis: yields (wav_chunk, sr) packets
+        with sub-100ms first-packet latency (capability absent from the
+        reference, whose streaming flag only changes the text layout)."""
+        if self.tts_model_type != "custom_voice":
+            raise ValueError(
+                f"model type {self.tts_model_type} does not support "
+                "stream_custom_voice")
+        texts = self._ensure_list(text)
+        n = len(texts)
+        languages = self._broadcast(language, n, default="Auto")
+        speakers = self._broadcast(speaker, n)
+        if self.tts_model_size == "0b6":
+            instruct = None
+        instructs = self._broadcast(instruct, n, default="")
+        self._validate_languages(languages)
+        self._validate_speakers(speakers)
+
+        tc = self.config.talker_config
+        specs = []
+        for t, spk, lang, ins in zip(texts, speakers, languages, instructs):
+            spk_embed = None
+            if spk:
+                spk_embed = self.talker_params["codec_embedding"][tc.spk_id[spk.lower()]]
+            specs.append(PromptSpec(
+                input_id=self._tokenize(self._build_assistant_text(t)),
+                language_id=self._language_id(lang, spk),
+                speaker_embed=spk_embed,
+                instruct_id=(self._tokenize(self._build_instruct_text(ins))
+                             if ins else None),
+                non_streaming=False))
+        kw = self._merge_generate_kwargs(**kwargs)
+        return self._stream_run(specs, self._generation_config(kw), seed=seed)
+
     def get_supported_speakers(self) -> List[str]:
         return sorted(s.lower() for s in self.supported_speakers)
 

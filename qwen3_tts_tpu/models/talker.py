@@ -123,7 +123,8 @@ def prepare_talker_params(params: Params, cfg: TalkerConfig) -> Params:
 def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
                   cos: jax.Array, sin: jax.Array, mask_bias: jax.Array,
                   cache: KVCache, offset,
-                  attend_len: Optional[int] = None) -> Tuple[jax.Array, KVCache]:
+                  attend_len: Optional[int] = None,
+                  unroll: int = 1) -> Tuple[jax.Array, KVCache]:
     """Run all layers. h: (B, T, hidden); mask_bias: (B, 1, T, S') additive
     where S' = attend_len or the full cache size.
 
@@ -165,7 +166,8 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
         hh = hh + (gate * up) @ mlp["down_proj"]["weight"].T.astype(x.dtype)
         return hh, (kc, vc)
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v))
+    h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v),
+                                     unroll=unroll)
     h = rms_norm(h, norm["weight"], dims.eps)
     return h, KVCache(k_new, v_new)
 
@@ -300,7 +302,8 @@ def code_predictor_frame(params: Params, cfg: TalkerConfig,
     ok = jnp.arange(S)[None, :] <= jnp.arange(2)[:, None]  # (2, S) causal
     bias = jnp.broadcast_to(mask_to_bias(ok)[None, None], (B, 1, 2, S))
     h, cache = decoder_stack(cp["layers"], cp["norm"], dims, pre, cos, sin,
-                             bias, cache, 0)
+                             bias, cache, 0,
+                             unroll=cp_cfg.num_hidden_layers)
     logits0 = (h[:, -1].astype(jnp.float32)
                @ cp["lm_heads"][0].T.astype(jnp.float32))
     key, sub = jax.random.split(key)
@@ -319,7 +322,8 @@ def code_predictor_frame(params: Params, cfg: TalkerConfig,
         bias = jnp.broadcast_to(mask_to_bias((jnp.arange(S) <= step + 1)[None, None, None, :]),
                                 (B, 1, 1, S))
         h, cache = decoder_stack(cp["layers"], cp["norm"], dims, x, cos, sin,
-                                 bias, cache, step + 1)
+                                 bias, cache, step + 1,
+                                 unroll=cp_cfg.num_hidden_layers)
         logits = (h[:, 0].astype(jnp.float32)
                   @ jnp.take(cp["lm_heads"], step, axis=0).T.astype(jnp.float32))
         key, sub = jax.random.split(key)

@@ -140,3 +140,21 @@ def test_tokenizer_roundtrip_api(tiny_checkpoint):
     wavs3, _ = tok.decode([{"audio_codes": c} for c in enc.audio_codes])
     np.testing.assert_array_equal(wavs[0], wavs2[0])
     np.testing.assert_array_equal(wavs[0], wavs3[0])
+
+
+def test_stream_custom_voice(tiny_checkpoint):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+
+    model = Qwen3TTSModel.from_pretrained(tiny_checkpoint, dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+
+    chunks = list(model.stream_custom_voice(
+        text="streaming hello", speaker="vivian", language="english", seed=1))
+    assert len(chunks) >= 1
+    sr = chunks[0][1]
+    assert sr == 1000
+    total = sum(c[0].shape[-1] for c in chunks)
+    assert total > 0
+    assert all(np.isfinite(c[0]).all() for c in chunks)
