@@ -136,7 +136,8 @@ def admit_request(params: Params, cfg: TalkerConfig, state: SlotState,
 
 def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
                            h: jax.Array, cos, sin, mask_bias: jax.Array,
-                           cache: KVCache, slot_index: jax.Array
+                           cache: KVCache, slot_index: jax.Array,
+                           attend_len: Optional[int] = None
                            ) -> Tuple[jax.Array, KVCache]:
     """decoder_stack variant for T=1 with a *per-slot* write index."""
     from ..ops.norms import rms_norm
@@ -165,7 +166,9 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
 
         from ..ops.attention import attention
 
-        o = attention(q, kc.astype(x.dtype), vc.astype(x.dtype), mask_bias)
+        k_att = kc if attend_len is None else kc[:, :attend_len]
+        v_att = vc if attend_len is None else vc[:, :attend_len]
+        o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
         o = o.reshape(B, 1, dims.heads * dims.head_dim) @ attn["o_proj"]["weight"].T.astype(x.dtype)
         hh = hh + o
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
@@ -180,18 +183,23 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
     return h, KVCache(k_new, v_new)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len"),
+         donate_argnums=(2,))
 def serve_step(params: Params, cfg: TalkerConfig, state: SlotState,
-               gen_cfg: GenerationConfig, key: jax.Array
+               gen_cfg: GenerationConfig, key: jax.Array,
+               attend_len: Optional[int] = None
                ) -> Tuple[SlotState, jax.Array, jax.Array]:
     """Advance every slot one frame.
+
+    `attend_len` is a static host-chosen bucket bounding the attended KV
+    window (covers the longest live slot).
 
     Returns (state, frames (B, Q), emitted (B,) bool — frame rows valid for
     slots that were active and not done).
     """
     eos = cfg.codec_eos_token_id
     B = state.code0.shape[0]
-    S = state.cache.k.shape[2]
+    S = state.cache.k.shape[2] if attend_len is None else attend_len
     dims = StackDims.from_talker(cfg)
     dtype = state.last_hidden.dtype
     suppress = suppress_mask_for(cfg)
@@ -219,7 +227,7 @@ def serve_step(params: Params, cfg: TalkerConfig, state: SlotState,
 
     cache_index = state.prefill_len + state.t      # (B,)
     slot = jnp.arange(S)[None, :]
-    kv_valid = state.kv_valid | (
+    kv_valid = state.kv_valid[:, :S] | (
         (slot >= state.prefill_len[:, None]) & (slot <= cache_index[:, None]))
     bias = mask_to_bias(kv_valid[:, None, None, :])
     position = state.seq_lens + state.t
@@ -228,7 +236,7 @@ def serve_step(params: Params, cfg: TalkerConfig, state: SlotState,
 
     h, cache = _decoder_stack_scatter(params["layers"], params["norm"], dims,
                                       embed, cos, sin, bias, state.cache,
-                                      cache_index)
+                                      cache_index, attend_len=attend_len)
     logits = (h[:, 0].astype(jnp.float32)
               @ params["codec_head"].T.astype(jnp.float32))
     ban = state.t + 1 < gen_cfg.min_new_tokens
@@ -306,8 +314,13 @@ class ContinuousBatchingEngine:
         if not any(r is not None for r in self.slot_req):
             return []
         self.key, sub = jax.random.split(self.key)
+        # static attention bucket covering the furthest live slot
+        S = self.state.cache.k.shape[2]
+        max_idx = int(np.asarray(self.state.prefill_len + self.state.t).max())
+        attend = min(S, ((max_idx + 2 + 255) // 256) * 256)
         self.state, frames, emit = serve_step(self.params, self.cfg,
-                                              self.state, self.gen_cfg, sub)
+                                              self.state, self.gen_cfg, sub,
+                                              attend_len=attend)
         frames = np.asarray(frames)
         emit = np.asarray(emit)
         done = np.asarray(self.state.done)

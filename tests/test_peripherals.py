@@ -109,3 +109,84 @@ def test_kaldi_fbank_shape():
     feats = fbank(wav, num_mel_bins=80)
     assert feats.shape == (1 + (16000 - 400) // 160, 80)
     assert np.isfinite(feats).all()
+
+
+def test_http_demo_server_end_to_end(tmp_path):
+    """Spin the stdlib HTTP fallback server on a tiny model and POST /tts."""
+    import json
+    import threading
+    import urllib.request
+
+    import pytest
+
+    from tests._reference import reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from qwen3_tts_tpu.cli.demo import _HttpDemo
+    from tests.test_inference_api import FakeTokenizer
+
+    # fabricate checkpoint via the existing fixture machinery
+    import tests.test_inference_api as tia
+
+    class _Factory:
+        def mktemp(self, name):
+            d = tmp_path / name
+            d.mkdir()
+            return d
+
+    ckpt = tia.tiny_checkpoint.__wrapped__(_Factory())
+    model = Qwen3TTSModel.from_pretrained(ckpt, dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+
+    demo = _HttpDemo(model, "custom_voice", {}, concurrency=1)
+    import socket
+    from http.server import ThreadingHTTPServer
+
+    # find a free port
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    t = threading.Thread(target=demo.serve, args=("127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    import time as _t
+
+    deadline = _t.time() + 10
+    while _t.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                assert json.loads(r.read())["ok"]
+            break
+        except Exception:
+            _t.sleep(0.2)
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/info") as r:
+        info = json.loads(r.read())
+    assert info["speakers"] == ["vivian"]
+
+    payload = json.dumps({"task": "custom_voice", "text": "hello over http",
+                          "speaker": "vivian", "seed": 0}).encode()
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/tts", data=payload,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read())
+    assert out["sample_rate"] == 1000
+    assert len(out["wavs_b64"]) == 1
+
+    # probe: malformed request -> structured error, server stays up
+    bad = urllib.request.Request(f"http://127.0.0.1:{port}/tts",
+                                 data=b'{"task": "custom_voice"}',
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(bad, timeout=30)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.loads(e.read())
