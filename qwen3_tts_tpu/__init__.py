@@ -13,6 +13,9 @@ _LAZY = {
     "Qwen3TTSModel": "qwen3_tts_tpu.inference.model",
     "Qwen3TTSTokenizer": "qwen3_tts_tpu.inference.tokenizer",
     "VoiceClonePromptItem": "qwen3_tts_tpu.inference.model",
+    "Qwen3TTSProcessor": "qwen3_tts_tpu.inference.processor",
+    "StreamingSession": "qwen3_tts_tpu.runtime.streaming",
+    "ContinuousBatchingEngine": "qwen3_tts_tpu.runtime.batching",
 }
 
 
@@ -25,4 +28,6 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = ["Qwen3TTSModel", "Qwen3TTSTokenizer", "VoiceClonePromptItem", "__version__"]
+__all__ = ["Qwen3TTSModel", "Qwen3TTSTokenizer", "VoiceClonePromptItem",
+           "Qwen3TTSProcessor", "StreamingSession",
+           "ContinuousBatchingEngine", "__version__"]
