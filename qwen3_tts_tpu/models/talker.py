@@ -172,13 +172,6 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
     return h, KVCache(k_new, v_new)
 
 
-def _positions_bias(positions: jax.Array, kv_positions: jax.Array,
-                    kv_valid: jax.Array) -> jax.Array:
-    """(B,T) q positions + (B,S) kv positions/validity -> (B,1,T,S) bias."""
-    ok = (kv_positions[:, None, :] <= positions[:, :, None]) & kv_valid[:, None, :]
-    return mask_to_bias(ok[:, None])
-
-
 # ---------------------------------------------------------------------------
 # Talker forward passes
 # ---------------------------------------------------------------------------
