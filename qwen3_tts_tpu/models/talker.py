@@ -295,8 +295,7 @@ def code_predictor_frame(params: Params, cfg: TalkerConfig,
     ok = jnp.arange(S)[None, :] <= jnp.arange(2)[:, None]  # (2, S) causal
     bias = jnp.broadcast_to(mask_to_bias(ok)[None, None], (B, 1, 2, S))
     h, cache = decoder_stack(cp["layers"], cp["norm"], dims, pre, cos, sin,
-                             bias, cache, 0,
-                             unroll=cp_cfg.num_hidden_layers)
+                             bias, cache, 0)
     logits0 = (h[:, -1].astype(jnp.float32)
                @ cp["lm_heads"][0].T.astype(jnp.float32))
     key, sub = jax.random.split(key)
@@ -315,8 +314,7 @@ def code_predictor_frame(params: Params, cfg: TalkerConfig,
         bias = jnp.broadcast_to(mask_to_bias((jnp.arange(S) <= step + 1)[None, None, None, :]),
                                 (B, 1, 1, S))
         h, cache = decoder_stack(cp["layers"], cp["norm"], dims, x, cos, sin,
-                                 bias, cache, step + 1,
-                                 unroll=cp_cfg.num_hidden_layers)
+                                 bias, cache, step + 1)
         logits = (h[:, 0].astype(jnp.float32)
                   @ jnp.take(cp["lm_heads"], step, axis=0).T.astype(jnp.float32))
         key, sub = jax.random.split(key)

@@ -41,31 +41,38 @@ def _decode_attn_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, out_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    pos = j * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
-    valid = (pos >= start_ref[b]) & (pos < end_ref[b])    # (1, BLK)
+    # blocks wholly outside [start, end) skip compute; their DMA is also
+    # skipped because the index_map clamps them onto the window's last block
+    # (same block index -> the pipeline reuses the buffered block)
+    in_window = (j * blk < end_ref[b]) & ((j + 1) * blk > start_ref[b])
 
-    # Mosaic lowers 2-D matmuls only: loop the (few) KV heads statically.
-    for h in range(hkv):
-        rows = slice(h * g, (h + 1) * g)
-        q = q_ref[0, rows, :].astype(jnp.float32)         # (G, D)
-        k = k_ref[0, :, h, :].astype(jnp.float32)         # (BLK, D)
-        v = v_ref[0, :, h, :].astype(jnp.float32)
+    @pl.when(in_window)
+    def _():
+        pos = j * blk + jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        valid = (pos >= start_ref[b]) & (pos < end_ref[b])    # (1, BLK)
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(valid, s, NEG_INF)                  # (G, BLK)
+        # Mosaic lowers 2-D matmuls only: loop the (few) KV heads statically.
+        for h in range(hkv):
+            rows = slice(h * g, (h + 1) * g)
+            q = q_ref[0, rows, :].astype(jnp.float32)         # (G, D)
+            k = k_ref[0, :, h, :].astype(jnp.float32)         # (BLK, D)
+            v = v_ref[0, :, h, :].astype(jnp.float32)
 
-        m_prev = m_ref[rows, 0:1]                         # (G, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        corr = jnp.exp(m_prev - m_new)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            s = jnp.where(valid, s, NEG_INF)                  # (G, BLK)
 
-        l_ref[rows, 0:1] = l_ref[rows, 0:1] * corr + jnp.sum(
-            p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        acc_ref[rows, :] = acc_ref[rows, :] * corr + pv
-        m_ref[rows, 0:1] = m_new
+            m_prev = m_ref[rows, 0:1]                         # (G, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            corr = jnp.exp(m_prev - m_new)
+
+            l_ref[rows, 0:1] = l_ref[rows, 0:1] * corr + jnp.sum(
+                p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            acc_ref[rows, :] = acc_ref[rows, :] * corr + pv
+            m_ref[rows, 0:1] = m_new
 
     @pl.when(j == blocks - 1)
     def _():
@@ -96,13 +103,20 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     # (B, Hq, D) -> (B, Hkv*G, D) with row h*G+g  == query head for kv head h
     qg = q.reshape(B, Hkv, G, D).reshape(B, Hkv * G, D)
 
+    def kv_index(b, j, s0, s1):
+        # clamp out-of-window block indices to the window edge: repeated
+        # indices make the pipeline skip the HBM->VMEM copy for those steps
+        first = s0[b] // blk
+        last = jnp.maximum((s1[b] - 1) // blk, first)
+        return (b, jnp.clip(j, first, last), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, blocks),
         in_specs=[
             pl.BlockSpec((1, Hkv * G, D), lambda b, j, s0, s1: (b, 0, 0)),
-            pl.BlockSpec((1, blk, Hkv, D), lambda b, j, s0, s1: (b, j, 0, 0)),
-            pl.BlockSpec((1, blk, Hkv, D), lambda b, j, s0, s1: (b, j, 0, 0)),
+            pl.BlockSpec((1, blk, Hkv, D), kv_index),
+            pl.BlockSpec((1, blk, Hkv, D), kv_index),
         ],
         out_specs=pl.BlockSpec((1, Hkv * G, D), lambda b, j, s0, s1: (b, 0, 0)),
         scratch_shapes=[
