@@ -29,7 +29,7 @@ def main():
     from qwen3_tts_tpu.utils.testing import TALKER_1B7, random_talker_params
 
     cfg = TALKER_1B7
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     M = int(os.environ.get("BENCH_FRAMES", "64"))  # max_new_tokens
     L = 64                                          # prefill length
     dtype = jnp.bfloat16

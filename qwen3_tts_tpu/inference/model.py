@@ -30,7 +30,7 @@ from ..models.talker import prepare_talker_params
 from ..ops.sampling import SamplingParams
 from ..runtime.generate import GenerationConfig, generate_frames
 from ..runtime.prompts import PromptSpec, batch_prompts, build_prompt
-from ..utils.audio import AudioLike, load_audio, resample, to_mono
+from ..utils.audio import AudioLike, normalize_audio_inputs, resample
 from ..weights import load_safetensors_dir
 from .tokenizer import Qwen3TTSTokenizer
 
@@ -338,10 +338,7 @@ class Qwen3TTSModel:
         if len(ref_text_list) != n or len(xvec_list) != n:
             raise ValueError("Batch size mismatch in voice clone prompt inputs")
 
-        normalized = [load_audio(a) if isinstance(a, str) else
-                      ((to_mono(a[0]), int(a[1])) if isinstance(a, tuple)
-                       else (_raise_np(a)))
-                      for a in ref_audio_list]
+        normalized = normalize_audio_inputs(ref_audio_list)
 
         enc = self.speech_tokenizer.encode(
             [(w, s) for (w, s) in normalized])
@@ -506,7 +503,3 @@ class Qwen3TTSModel:
         if len(vals) != n:
             raise ValueError(f"Batch size mismatch: got {len(vals)}, want {n}")
         return vals
-
-
-def _raise_np(a):
-    raise ValueError("For numpy waveform input, pass a tuple (audio, sr).")
