@@ -210,6 +210,10 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
     slot = jnp.arange(S)[None, :]
     qslot = jnp.arange(T)[None, :]
     ok = (slot <= qslot[:, :, None]) & kv_valid[:, None, :]
+    if cfg.sliding_window is not None:
+        # index-based sliding window, matching HF
+        # create_sliding_window_causal_mask (reference 1510-1518)
+        ok &= slot > (qslot[:, :, None] - cfg.sliding_window)
     bias = mask_to_bias(ok[:, None])
 
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
@@ -236,6 +240,8 @@ def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
 
     slot = jnp.arange(S)[None, :]
     ok = (slot <= cache_index) & kv_valid[:, :S]
+    if cfg.sliding_window is not None:
+        ok &= slot > (cache_index - cfg.sliding_window)
     bias = mask_to_bias(ok[:, None, None, :])
 
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)

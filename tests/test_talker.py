@@ -194,3 +194,69 @@ def test_sampling_warpers_match_hf():
     want = TopPLogitsWarper(0.7)(None, tl.clone()).numpy()
     got = np.asarray(apply_top_p(logits, 0.7))
     np.testing.assert_array_equal(np.isinf(want), got <= NEG_INF / 2)
+
+
+@requires_reference
+def test_sliding_window_talker_parity():
+    """use_sliding_window=True talker (optional config path, reference
+    modeling_qwen3_tts.py:1510-1518)."""
+    import torch
+
+    import jax
+
+    from qwen3_tts_tpu.config import TalkerConfig
+    from qwen3_tts_tpu.models.talker import prepare_talker_params
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.generate import (GenerationConfig,
+                                                generate_frames)
+    from qwen3_tts_tpu.weights import from_torch_state_dict
+    from tests._reference import load_talker
+
+    ref = load_talker()
+    from ref_models.configuration_qwen3_tts import Qwen3TTSTalkerConfig
+
+    cfg_kwargs = dict(TALKER_TINY)
+    cfg_kwargs.update(use_sliding_window=True, sliding_window=4)
+    rcfg = Qwen3TTSTalkerConfig(**cfg_kwargs)
+    rcfg._attn_implementation = "eager"
+    rcfg.code_predictor_config._attn_implementation = "eager"
+    torch.manual_seed(0)
+    model = ref.Qwen3TTSTalkerForConditionalGeneration(rcfg)
+    gen = torch.Generator().manual_seed(0)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.empty_like(p).normal_(0, 0.06, generator=gen))
+    model.eval()
+
+    tree = from_torch_state_dict(model.state_dict())
+    cfg = TalkerConfig.from_dict(cfg_kwargs)
+    assert cfg.sliding_window == 4
+    params = prepare_talker_params(tree, cfg)
+
+    embeds, mask, trailing, pad = _random_inputs(9, T=8)
+    M = 6
+    suppress = [i for i in range(VOCAB - 1024, VOCAB) if i != EOS]
+    with torch.no_grad():
+        result = model.generate(
+            inputs_embeds=torch.from_numpy(embeds),
+            attention_mask=torch.from_numpy(mask),
+            trailing_text_hidden=torch.from_numpy(trailing),
+            tts_pad_embed=torch.from_numpy(pad),
+            max_new_tokens=M, min_new_tokens=2, do_sample=False,
+            subtalker_dosample=False, eos_token_id=EOS,
+            repetition_penalty=1.05, suppress_tokens=suppress,
+            output_hidden_states=True, return_dict_in_generate=True)
+    talker_codes = torch.stack(
+        [hid[-1] for hid in result.hidden_states if hid[-1] is not None], dim=1)
+    want = talker_codes.numpy()
+
+    gen_cfg = GenerationConfig(
+        max_new_tokens=M,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False))
+    out = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
+                          jax.random.PRNGKey(0))
+    got = np.asarray(out.codes)
+    lens = np.asarray(out.lengths)
+    for b in range(2):
+        np.testing.assert_array_equal(got[b, :lens[b]], want[b, :lens[b]])
