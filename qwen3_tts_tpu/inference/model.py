@@ -104,6 +104,7 @@ class Qwen3TTSModel:
 
     @classmethod
     def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16,
+                        quantize: Optional[str] = None,
                         **kwargs) -> "Qwen3TTSModel":
         """Load from a reference-format checkpoint directory (config.json +
         safetensors + speech_tokenizer/ subdir + generation_config.json).
@@ -111,8 +112,11 @@ class Qwen3TTSModel:
         Reference: Qwen3TTSForConditionalGeneration.from_pretrained
         (modeling_qwen3_tts.py:1855-1938). HF repo ids download via
         huggingface_hub when the path is not a local directory.
+
+        quantize="int8" applies weight-only per-channel int8 to the talker /
+        code-predictor matmul weights (halves decode weight bandwidth).
         """
-        from ..weights import resolve_checkpoint_dir
+        from ..weights import quantize_talker_params, resolve_checkpoint_dir
 
         model_dir = resolve_checkpoint_dir(model_dir)
         config = load_config(model_dir)
@@ -121,6 +125,10 @@ class Qwen3TTSModel:
         tree = load_safetensors_dir(model_dir, dtype=dtype)
         talker_params = prepare_talker_params(tree["talker"],
                                               config.talker_config)
+        if quantize == "int8":
+            talker_params = quantize_talker_params(talker_params)
+        elif quantize is not None:
+            raise ValueError(f"unsupported quantize mode {quantize!r}")
         spk_params = tree.get("speaker_encoder")
 
         tok_dir = os.path.join(model_dir, "speech_tokenizer")

@@ -31,7 +31,7 @@ from ..config import CodePredictorConfig, TalkerConfig
 from ..ops.attention import attention, mask_to_bias
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, default_inv_freq, rope_tables
-from ..weights import numeric_children, stack_layers
+from ..weights import matmul_t, numeric_children, stack_layers
 
 Params = Dict[str, Any]
 
@@ -140,11 +140,11 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
         lp, kc, vc = xs
         attn = lp["self_attn"]
         x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
-        q = (x @ attn["q_proj"]["weight"].T.astype(x.dtype)).reshape(
+        q = matmul_t(x, attn["q_proj"]["weight"]).reshape(
             B, T, dims.heads, dims.head_dim)
-        k = (x @ attn["k_proj"]["weight"].T.astype(x.dtype)).reshape(
+        k = matmul_t(x, attn["k_proj"]["weight"]).reshape(
             B, T, dims.kv_heads, dims.head_dim)
-        v = (x @ attn["v_proj"]["weight"].T.astype(x.dtype)).reshape(
+        v = matmul_t(x, attn["v_proj"]["weight"]).reshape(
             B, T, dims.kv_heads, dims.head_dim)
         q = rms_norm(q, attn["q_norm"]["weight"], dims.eps)
         k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
@@ -156,14 +156,14 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
         k_att = kc if attend_len is None else kc[:, :attend_len]
         v_att = vc if attend_len is None else vc[:, :attend_len]
         o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
-        o = o.reshape(B, T, dims.heads * dims.head_dim) @ attn["o_proj"]["weight"].T.astype(x.dtype)
+        o = matmul_t(o.reshape(B, T, dims.heads * dims.head_dim), attn["o_proj"]["weight"])
         hh = hh + o
 
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
         mlp = lp["mlp"]
-        gate = jax.nn.silu(x @ mlp["gate_proj"]["weight"].T.astype(x.dtype))
-        up = x @ mlp["up_proj"]["weight"].T.astype(x.dtype)
-        hh = hh + (gate * up) @ mlp["down_proj"]["weight"].T.astype(x.dtype)
+        gate = jax.nn.silu(matmul_t(x, mlp["gate_proj"]["weight"]))
+        up = matmul_t(x, mlp["up_proj"]["weight"])
+        hh = hh + matmul_t(gate * up, mlp["down_proj"]["weight"])
         return hh, (kc, vc)
 
     h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v),
@@ -221,8 +221,7 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
 
     h, cache = decoder_stack(params["layers"], params["norm"], dims,
                              inputs_embeds, cos, sin, bias, cache, 0)
-    logits = (h[:, -1].astype(jnp.float32)
-              @ params["codec_head"].T.astype(jnp.float32))
+    logits = matmul_t(h[:, -1].astype(jnp.float32), params["codec_head"])
     return logits, h, cache
 
 
@@ -250,8 +249,7 @@ def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
     h, cache = decoder_stack(params["layers"], params["norm"], dims, embed,
                              cos, sin, bias, cache, cache_index,
                              attend_len=attend_len)
-    logits = (h[:, 0].astype(jnp.float32)
-              @ params["codec_head"].T.astype(jnp.float32))
+    logits = matmul_t(h[:, 0].astype(jnp.float32), params["codec_head"])
     return logits, h, cache
 
 

@@ -33,6 +33,7 @@ from ..models.talker import (KVCache, StackDims, code_predictor_frame,
                              decoder_stack)
 from ..ops.attention import mask_to_bias
 from ..ops.rope import default_inv_freq, rope_tables
+from ..weights import matmul_t
 from ..ops.sampling import process_and_sample
 from .generate import GenerationConfig, suppress_mask_for
 
@@ -151,11 +152,11 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         lp, kc, vc = xs
         attn = lp["self_attn"]
         x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
-        q = (x @ attn["q_proj"]["weight"].T.astype(x.dtype)).reshape(
+        q = matmul_t(x, attn["q_proj"]["weight"]).reshape(
             B, 1, dims.heads, dims.head_dim)
-        k = (x @ attn["k_proj"]["weight"].T.astype(x.dtype)).reshape(
+        k = matmul_t(x, attn["k_proj"]["weight"]).reshape(
             B, 1, dims.kv_heads, dims.head_dim)
-        v = (x @ attn["v_proj"]["weight"].T.astype(x.dtype)).reshape(
+        v = matmul_t(x, attn["v_proj"]["weight"]).reshape(
             B, 1, dims.kv_heads, dims.head_dim)
         q = rms_norm(q, attn["q_norm"]["weight"], dims.eps)
         k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
@@ -169,13 +170,13 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         k_att = kc if attend_len is None else kc[:, :attend_len]
         v_att = vc if attend_len is None else vc[:, :attend_len]
         o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
-        o = o.reshape(B, 1, dims.heads * dims.head_dim) @ attn["o_proj"]["weight"].T.astype(x.dtype)
+        o = matmul_t(o.reshape(B, 1, dims.heads * dims.head_dim), attn["o_proj"]["weight"])
         hh = hh + o
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
         mlp = lp["mlp"]
-        gate = jax.nn.silu(x @ mlp["gate_proj"]["weight"].T.astype(x.dtype))
-        up = x @ mlp["up_proj"]["weight"].T.astype(x.dtype)
-        hh = hh + (gate * up) @ mlp["down_proj"]["weight"].T.astype(x.dtype)
+        gate = jax.nn.silu(matmul_t(x, mlp["gate_proj"]["weight"]))
+        up = matmul_t(x, mlp["up_proj"]["weight"])
+        hh = hh + matmul_t(gate * up, mlp["down_proj"]["weight"])
         return hh, (kc, vc)
 
     h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v))
@@ -237,8 +238,7 @@ def serve_step(params: Params, cfg: TalkerConfig, state: SlotState,
     h, cache = _decoder_stack_scatter(params["layers"], params["norm"], dims,
                                       embed, cos, sin, bias, state.cache,
                                       cache_index, attend_len=attend_len)
-    logits = (h[:, 0].astype(jnp.float32)
-              @ params["codec_head"].T.astype(jnp.float32))
+    logits = matmul_t(h[:, 0].astype(jnp.float32), params["codec_head"])
     ban = state.t + 1 < gen_cfg.min_new_tokens
     next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
                                     presence=presence, suppress_mask=suppress,

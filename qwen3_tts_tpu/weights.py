@@ -178,6 +178,61 @@ def save_safetensors(path: str, state_dict: Dict[str, np.ndarray]) -> None:
                        path)
 
 
+def quantize_weight_int8(w, axis: int = -1):
+    """Per-output-channel symmetric int8 weight quantization.
+
+    w: (..., O, I) torch-layout matmul weight. Returns {"q": int8 array,
+    "s": per-row fp32 scales} such that w ~= q * s[..., None].
+    Weight-only: the matmul consumes int8 straight from HBM and converts
+    on-chip, halving decode's weight bandwidth (the decode bottleneck).
+    """
+    import numpy as _np
+
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.squeeze(axis).astype(jnp.float32)}
+
+
+def quantize_talker_params(prepared: Dict[str, Any]) -> Dict[str, Any]:
+    """Weight-only int8 for the decode-bandwidth-dominant tensors: talker and
+    code-predictor layer matmuls + the codec head. Embedding tables and
+    norms stay in the original dtype."""
+    import copy
+
+    out = dict(prepared)
+
+    def quantize_layers(layers):
+        layers = {k: (dict(v) if isinstance(v, dict) else v)
+                  for k, v in layers.items()}
+        attn = dict(layers["self_attn"])
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            attn[name] = {"weight": quantize_weight_int8(attn[name]["weight"])}
+        layers["self_attn"] = {**layers["self_attn"], **attn}
+        mlp = {}
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            mlp[name] = {"weight": quantize_weight_int8(
+                layers["mlp"][name]["weight"])}
+        layers["mlp"] = mlp
+        return layers
+
+    out["layers"] = quantize_layers(prepared["layers"])
+    out["codec_head"] = quantize_weight_int8(prepared["codec_head"])
+    cp = dict(prepared["code_predictor"])
+    cp["layers"] = quantize_layers(cp["layers"])
+    out["code_predictor"] = cp
+    return out
+
+
+def matmul_t(x, w):
+    """x @ w.T supporting raw arrays and weight-only int8 dicts."""
+    if isinstance(w, dict) and "q" in w:
+        y = x @ w["q"].T.astype(x.dtype)
+        return y * w["s"].astype(x.dtype)
+    return x @ w.T.astype(x.dtype)
+
+
 def cast_floats(tree, dtype):
     """Cast all floating leaves of a pytree to dtype."""
     def _cast(x):

@@ -158,3 +158,41 @@ def test_stream_custom_voice(tiny_checkpoint):
     total = sum(c[0].shape[-1] for c in chunks)
     assert total > 0
     assert all(np.isfinite(c[0]).all() for c in chunks)
+
+
+def test_int8_quantized_generation(tiny_checkpoint):
+    """Weight-only int8: loads, runs, and tracks the bf16 logits closely."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from qwen3_tts_tpu.models.talker import KVCache, StackDims, talker_prefill
+
+    full = Qwen3TTSModel.from_pretrained(tiny_checkpoint, dtype=jnp.float32)
+    quant = Qwen3TTSModel.from_pretrained(tiny_checkpoint, dtype=jnp.float32,
+                                          quantize="int8")
+    quant.processor = FakeTokenizer()
+
+    cfg = full.config.talker_config
+    rng = np.random.default_rng(0)
+    embeds = rng.normal(0, 0.3, size=(1, 5, cfg.hidden_size)).astype(np.float32)
+    mask = np.ones((1, 5), np.int32)
+    dims = StackDims.from_talker(cfg)
+
+    def logits_of(params):
+        cache = KVCache.zeros(cfg.num_hidden_layers, 1, 8, dims.kv_heads,
+                              dims.head_dim, dtype=np.float32)
+        return np.asarray(talker_prefill(params, cfg, embeds, mask, cache)[0])
+
+    lf = logits_of(full.talker_params)
+    lq = logits_of(quant.talker_params)
+    # int8 weight-only should track fp within a tight relative envelope
+    denom = np.maximum(np.abs(lf).max(), 1e-6)
+    assert np.abs(lf - lq).max() / denom < 0.05
+
+    wavs, sr = quant.generate_custom_voice(text="quantized hello",
+                                           speaker="vivian", seed=0)
+    assert np.isfinite(wavs[0]).all()
+
+    with pytest.raises(ValueError, match="unsupported quantize"):
+        Qwen3TTSModel.from_pretrained(tiny_checkpoint, quantize="int4")
