@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--repetition-penalty", type=float, default=None)
     p.add_argument("--no-sample", action="store_true")
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile standard shapes before serving")
     return p
 
 
@@ -247,6 +249,12 @@ def main(argv=None) -> None:
     model = Qwen3TTSModel.from_pretrained(args.checkpoint, dtype=dtype)
     kind = _detect_model_kind(model)
     overrides = _gen_overrides(args)
+    if args.warmup:
+        from ..runtime.warmup import warmup_model
+
+        secs = warmup_model(model,
+                            max_new_tokens=overrides.get("max_new_tokens"))
+        print(f"[qwen-tts-demo] warmup finished in {secs:.1f}s")
 
     try:
         import gradio  # noqa: F401

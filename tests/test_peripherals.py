@@ -190,3 +190,30 @@ def test_http_demo_server_end_to_end(tmp_path):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "error" in json.loads(e.read())
+
+
+def test_warmup_model(tmp_path):
+    import pytest
+
+    from tests._reference import reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from qwen3_tts_tpu.runtime.warmup import warmup_model
+    import tests.test_inference_api as tia
+
+    class _Factory:
+        def mktemp(self, name):
+            d = tmp_path / name
+            d.mkdir()
+            return d
+
+    ckpt = tia.tiny_checkpoint.__wrapped__(_Factory())
+    model = Qwen3TTSModel.from_pretrained(ckpt, dtype=jnp.float32)
+    secs = warmup_model(model, prefill_buckets=(16,), batch_sizes=(1,),
+                        max_new_tokens=4, verbose=False)
+    assert secs > 0
