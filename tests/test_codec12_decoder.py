@@ -129,3 +129,90 @@ def test_causal_conv_padding_math():
     left, extra = _causal_pad_amounts(10, 4, 2, 1)
     assert left == 2
     assert (10 + left + extra - 4) % 2 == 0
+
+
+@requires_reference
+def test_full_roundtrip_parity_vs_reference_model():
+    """BASELINE config 1: encode->decode roundtrip, our public API vs the
+    reference Qwen3TTSTokenizerV2Model, same waveforms in, waveforms compared."""
+    import torch
+
+    from tests._reference import load_tokenizer_v2
+    from tests.test_codec12_encoder import TINY as ENC_TINY, _make_reference_encoder
+
+    ref = load_tokenizer_v2()
+
+    # reference top model wrapping the same tiny encoder+decoder weights
+    rcfg = ref.Qwen3TTSTokenizerV2Config(
+        encoder_config=dict(ENC_TINY),
+        decoder_config={k: list(v) if isinstance(v, tuple) else v
+                        for k, v in TINY.items()},
+        encoder_valid_num_quantizers=TINY["num_quantizers"],
+        input_sample_rate=ENC_TINY["sampling_rate"],
+        output_sample_rate=ENC_TINY["sampling_rate"],
+        decode_upsample_rate=64,
+        encode_downsample_rate=16,
+    )
+    rcfg._attn_implementation = "eager"
+    rcfg.encoder_config._attn_implementation = "eager"
+    rcfg.decoder_config._attn_implementation = "eager"
+    import torch as _t
+
+    _t.manual_seed(0)
+    top = ref.Qwen3TTSTokenizerV2Model(rcfg)
+    _, enc_src = _make_reference_encoder()
+    _, _, dec_src = _make_reference_decoder()
+    top.encoder.load_state_dict(enc_src.state_dict(), strict=False)
+    top.decoder.load_state_dict(dec_src.state_dict())
+    top.eval()
+
+    rng = np.random.default_rng(7)
+    wav_a = rng.uniform(-0.5, 0.5, size=(400,)).astype(np.float32)
+    wav_b = rng.uniform(-0.5, 0.5, size=(208,)).astype(np.float32)
+
+    with torch.no_grad():
+        batch = torch.zeros(2, 400)
+        batch[0] = torch.from_numpy(wav_a)
+        batch[1, :208] = torch.from_numpy(wav_b)
+        mask = torch.zeros(2, 400, dtype=torch.long)
+        mask[0] = 1
+        mask[1, :208] = 1
+        enc_ref = top.encode(batch, mask, return_dict=True)
+        from torch.nn.utils.rnn import pad_sequence
+        padded = pad_sequence([c for c in enc_ref.audio_codes],
+                              batch_first=True, padding_value=-1)
+        dec_ref = top.decode(padded, return_dict=True)
+        want_wavs = [w.numpy() for w in dec_ref.audio_values]
+
+    # ours, through the public API on in-memory params
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import CodecV2Config
+    from qwen3_tts_tpu.inference.tokenizer import Qwen3TTSTokenizer
+    from qwen3_tts_tpu.models.codec12.decoder import prepare_decoder_params
+    from qwen3_tts_tpu.models.codec12.encoder import prepare_encoder_params
+    from qwen3_tts_tpu.weights import from_torch_state_dict
+
+    cfg = CodecV2Config.from_dict({
+        "encoder_config": dict(ENC_TINY),
+        "decoder_config": {k: list(v) if isinstance(v, tuple) else v
+                           for k, v in TINY.items()},
+        "encoder_valid_num_quantizers": TINY["num_quantizers"],
+        "input_sample_rate": ENC_TINY["sampling_rate"],
+        "output_sample_rate": ENC_TINY["sampling_rate"],
+        "decode_upsample_rate": 64,
+        "encode_downsample_rate": 16,
+    })
+    tree = from_torch_state_dict(top.state_dict(), dtype=jnp.float32)
+    tok = Qwen3TTSTokenizer.from_params(
+        cfg,
+        enc_params=prepare_encoder_params(tree["encoder"], cfg.encoder_config),
+        dec_params=prepare_decoder_params(tree["decoder"], cfg.decoder_config))
+
+    enc = tok.encode([wav_a, wav_b], sr=ENC_TINY["sampling_rate"])
+    for ours, theirs in zip(enc.audio_codes, enc_ref.audio_codes):
+        np.testing.assert_array_equal(ours, theirs.numpy())
+    wavs, _ = tok.decode(enc)
+    for got, want in zip(wavs, want_wavs):
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-2)
