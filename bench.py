@@ -17,6 +17,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# reuse compiled programs across runs (first compile of the generation
+# program takes minutes on remote-compile TPU services)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 import jax
 import jax.numpy as jnp

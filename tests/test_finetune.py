@@ -216,3 +216,44 @@ def test_sft_checkpoint_rewrite_and_reload(tmp_path):
     wavs, sr = tuned.generate_custom_voice(text="hi there friend",
                                            speaker="newspeaker", seed=0)
     assert np.isfinite(wavs[0]).all()
+
+
+@requires_reference
+def test_prepare_data_jsonl(tmp_path):
+    """prepare_data: wav files -> JSONL rows with audio_codes."""
+    import json as _json
+
+    from qwen3_tts_tpu import Qwen3TTSTokenizer
+    from qwen3_tts_tpu.finetune.data import prepare_data
+    from qwen3_tts_tpu.utils.audio import write_wav
+    import tests.test_inference_api as tia
+
+    class _Factory:
+        def mktemp(self, name):
+            d = tmp_path / name
+            d.mkdir()
+            return d
+
+    ckpt = tia.tiny_checkpoint.__wrapped__(_Factory())
+    tok = Qwen3TTSTokenizer.from_pretrained(os.path.join(ckpt, "speech_tokenizer"))
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(3):
+        wav = rng.uniform(-0.5, 0.5, size=(300 + 40 * i,)).astype(np.float32)
+        path = str(tmp_path / f"a{i}.wav")
+        write_wav(path, wav, tok.get_input_sample_rate())
+        rows.append({"audio": path, "text": f"sample {i}",
+                     "ref_audio": path})
+    src = tmp_path / "in.jsonl"
+    with open(src, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    out = tmp_path / "out.jsonl"
+    n = prepare_data(str(src), str(out), tok, batch_size=2)
+    assert n == 3
+    got = [_json.loads(l) for l in open(out)]
+    for r in got:
+        codes = np.asarray(r["audio_codes"])
+        assert codes.ndim == 2 and codes.shape[1] == 4
+        assert codes.shape[0] >= 1
