@@ -40,6 +40,11 @@ def main():
     dtype = jnp.bfloat16
 
     params = random_talker_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant == "int8":
+        from qwen3_tts_tpu.weights import quantize_talker_params
+
+        params = quantize_talker_params(params)
     gen_cfg = GenerationConfig(
         max_new_tokens=M,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
@@ -71,7 +76,8 @@ def main():
     audio_seconds = frames * 0.08
     rtf = audio_seconds / wall
     print(json.dumps({
-        "metric": "talker_decode_rtf_1b7_batch%d" % B,
+        "metric": "talker_decode_rtf_1b7_batch%d%s" % (
+            B, "_int8" if quant == "int8" else ""),
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 10.0, 3),
