@@ -109,7 +109,7 @@ def main(argv=None):
                   encoding="utf-8") as f:
             json.dump(config_dict, f, indent=2, ensure_ascii=False)
 
-        sd = talker_params_to_state_dict(jax.device_get(params))
+        sd = talker_params_to_state_dict(jax.device_get(params), tc)
         emb = sd["talker.model.codec_embedding.weight"].copy()
         emb[3000] = target_speaker_embedding.astype(emb.dtype)
         sd["talker.model.codec_embedding.weight"] = emb

@@ -75,7 +75,33 @@ class KVCache(NamedTuple):
 
 
 def _stack_decoder_layers(layers_tree: Params) -> Params:
-    return stack_layers(numeric_children(layers_tree))
+    stacked = stack_layers(numeric_children(layers_tree))
+    return _fuse_layer_projections(stacked)
+
+
+def _fuse_layer_projections(stacked: Params) -> Params:
+    """Fuse q/k/v and gate/up weights into single matmuls (fewer dispatches
+    per decode step; the math is identical — outputs are split after)."""
+    attn = stacked["self_attn"]
+    qkv = jnp.concatenate([attn["q_proj"]["weight"], attn["k_proj"]["weight"],
+                           attn["v_proj"]["weight"]], axis=-2)
+    mlp = stacked["mlp"]
+    gate_up = jnp.concatenate([mlp["gate_proj"]["weight"],
+                               mlp["up_proj"]["weight"]], axis=-2)
+    return {
+        "self_attn": {
+            "qkv_proj": {"weight": qkv},
+            "o_proj": attn["o_proj"],
+            "q_norm": attn["q_norm"],
+            "k_norm": attn["k_norm"],
+        },
+        "mlp": {
+            "gate_up_proj": {"weight": gate_up},
+            "down_proj": mlp["down_proj"],
+        },
+        "input_layernorm": stacked["input_layernorm"],
+        "post_attention_layernorm": stacked["post_attention_layernorm"],
+    }
 
 
 def prepare_talker_params(params: Params, cfg: TalkerConfig) -> Params:
@@ -135,17 +161,18 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
     """
     B, T, _ = h.shape
 
+    nq = dims.heads * dims.head_dim
+    nkv = dims.kv_heads * dims.head_dim
+
     def body(carry, xs):
         hh = carry
         lp, kc, vc = xs
         attn = lp["self_attn"]
         x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
-        q = matmul_t(x, attn["q_proj"]["weight"]).reshape(
-            B, T, dims.heads, dims.head_dim)
-        k = matmul_t(x, attn["k_proj"]["weight"]).reshape(
-            B, T, dims.kv_heads, dims.head_dim)
-        v = matmul_t(x, attn["v_proj"]["weight"]).reshape(
-            B, T, dims.kv_heads, dims.head_dim)
+        qkv = matmul_t(x, attn["qkv_proj"]["weight"])
+        q = qkv[..., :nq].reshape(B, T, dims.heads, dims.head_dim)
+        k = qkv[..., nq:nq + nkv].reshape(B, T, dims.kv_heads, dims.head_dim)
+        v = qkv[..., nq + nkv:].reshape(B, T, dims.kv_heads, dims.head_dim)
         q = rms_norm(q, attn["q_norm"]["weight"], dims.eps)
         k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
         q, k = apply_rope(q, k, cos, sin)
@@ -161,8 +188,12 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
 
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
         mlp = lp["mlp"]
-        gate = jax.nn.silu(matmul_t(x, mlp["gate_proj"]["weight"]))
-        up = matmul_t(x, mlp["up_proj"]["weight"])
+        inter = mlp["gate_up_proj"]["weight"].shape[-2] // 2 if not isinstance(
+            mlp["gate_up_proj"]["weight"], dict) else \
+            mlp["gate_up_proj"]["weight"]["q"].shape[-2] // 2
+        gu = matmul_t(x, mlp["gate_up_proj"]["weight"])
+        gate = jax.nn.silu(gu[..., :inter])
+        up = gu[..., inter:]
         hh = hh + matmul_t(gate * up, mlp["down_proj"]["weight"])
         return hh, (kc, vc)
 

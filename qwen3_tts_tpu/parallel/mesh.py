@@ -34,16 +34,16 @@ def make_mesh(dp: int = 1, tp: int = 1,
 # Path-pattern -> PartitionSpec for the *prepared* talker param tree
 # (prepare_talker_params layout).  Mirrors the reference TP plan.
 _TALKER_RULES = [
-    (r"layers/self_attn/(q|k|v)_proj/weight$", P(None, "tp", None)),
+    (r"layers/self_attn/qkv_proj/weight$", P(None, "tp", None)),
     (r"layers/self_attn/o_proj/weight$", P(None, None, "tp")),
-    (r"layers/mlp/(gate|up)_proj/weight$", P(None, "tp", None)),
+    (r"layers/mlp/gate_up_proj/weight$", P(None, "tp", None)),
     (r"layers/mlp/down_proj/weight$", P(None, None, "tp")),
     (r"codec_head$", P("tp", None)),           # colwise_rep -> shard vocab
     (r"codec_embedding$", P(None, None)),
     (r"text_embedding$", P(None, None)),
-    (r"code_predictor/layers/self_attn/(q|k|v)_proj/weight$", P(None, "tp", None)),
+    (r"code_predictor/layers/self_attn/qkv_proj/weight$", P(None, "tp", None)),
     (r"code_predictor/layers/self_attn/o_proj/weight$", P(None, None, "tp")),
-    (r"code_predictor/layers/mlp/(gate|up)_proj/weight$", P(None, "tp", None)),
+    (r"code_predictor/layers/mlp/gate_up_proj/weight$", P(None, "tp", None)),
     (r"code_predictor/layers/mlp/down_proj/weight$", P(None, None, "tp")),
     (r"code_predictor/lm_heads$", P(None, "tp", None)),
     (r"code_predictor/embeddings$", P(None, None, None)),

@@ -146,18 +146,18 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
 
     B = h.shape[0]
     rows = jnp.arange(B)
+    nq = dims.heads * dims.head_dim
+    nkv = dims.kv_heads * dims.head_dim
 
     def body(carry, xs):
         hh = carry
         lp, kc, vc = xs
         attn = lp["self_attn"]
         x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
-        q = matmul_t(x, attn["q_proj"]["weight"]).reshape(
-            B, 1, dims.heads, dims.head_dim)
-        k = matmul_t(x, attn["k_proj"]["weight"]).reshape(
-            B, 1, dims.kv_heads, dims.head_dim)
-        v = matmul_t(x, attn["v_proj"]["weight"]).reshape(
-            B, 1, dims.kv_heads, dims.head_dim)
+        qkv = matmul_t(x, attn["qkv_proj"]["weight"])
+        q = qkv[..., :nq].reshape(B, 1, dims.heads, dims.head_dim)
+        k = qkv[..., nq:nq + nkv].reshape(B, 1, dims.kv_heads, dims.head_dim)
+        v = qkv[..., nq + nkv:].reshape(B, 1, dims.kv_heads, dims.head_dim)
         q = rms_norm(q, attn["q_norm"]["weight"], dims.eps)
         k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
         q, k = apply_rope(q, k, cos, sin)
@@ -174,9 +174,11 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         hh = hh + o
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
         mlp = lp["mlp"]
-        gate = jax.nn.silu(matmul_t(x, mlp["gate_proj"]["weight"]))
-        up = matmul_t(x, mlp["up_proj"]["weight"])
-        hh = hh + matmul_t(gate * up, mlp["down_proj"]["weight"])
+        w_gu = mlp["gate_up_proj"]["weight"]
+        inter = (w_gu["q"] if isinstance(w_gu, dict) else w_gu).shape[-2] // 2
+        gu = matmul_t(x, w_gu)
+        hh = hh + matmul_t(jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
+                           mlp["down_proj"]["weight"])
         return hh, (kc, vc)
 
     h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v))

@@ -21,18 +21,16 @@ def _init(key, shape, scale=0.02, dtype=jnp.float32):
 def _decoder_layer_stack(key, n_layers, hidden, heads, kv_heads, head_dim,
                          inter, dtype):
     ks = jax.random.split(key, 8)
+    qkv_rows = (heads + 2 * kv_heads) * head_dim
     return {
         "self_attn": {
-            "q_proj": {"weight": _init(ks[0], (n_layers, heads * head_dim, hidden), dtype=dtype)},
-            "k_proj": {"weight": _init(ks[1], (n_layers, kv_heads * head_dim, hidden), dtype=dtype)},
-            "v_proj": {"weight": _init(ks[2], (n_layers, kv_heads * head_dim, hidden), dtype=dtype)},
+            "qkv_proj": {"weight": _init(ks[0], (n_layers, qkv_rows, hidden), dtype=dtype)},
             "o_proj": {"weight": _init(ks[3], (n_layers, hidden, heads * head_dim), dtype=dtype)},
             "q_norm": {"weight": jnp.ones((n_layers, head_dim), dtype)},
             "k_norm": {"weight": jnp.ones((n_layers, head_dim), dtype)},
         },
         "mlp": {
-            "gate_proj": {"weight": _init(ks[4], (n_layers, inter, hidden), dtype=dtype)},
-            "up_proj": {"weight": _init(ks[5], (n_layers, inter, hidden), dtype=dtype)},
+            "gate_up_proj": {"weight": _init(ks[4], (n_layers, 2 * inter, hidden), dtype=dtype)},
             "down_proj": {"weight": _init(ks[6], (n_layers, hidden, inter), dtype=dtype)},
         },
         "input_layernorm": {"weight": jnp.ones((n_layers, hidden), dtype)},

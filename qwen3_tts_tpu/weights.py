@@ -131,7 +131,34 @@ def load_safetensors_dir(model_dir: str, dtype=None,
     return unflatten_state_dict(flat)
 
 
-def talker_params_to_state_dict(prepared: Dict[str, Any],
+def _unfuse_layers(stacked: Dict[str, Any], heads: int, kv_heads: int,
+                   head_dim: int) -> Dict[str, Any]:
+    """Split fused qkv/gate_up stacks back into reference-format weights."""
+    attn = stacked["self_attn"]
+    qkv = attn["qkv_proj"]["weight"]
+    nq, nkv = heads * head_dim, kv_heads * head_dim
+    gu = stacked["mlp"]["gate_up_proj"]["weight"]
+    inter = gu.shape[-2] // 2
+    return {
+        "self_attn": {
+            "q_proj": {"weight": qkv[..., :nq, :]},
+            "k_proj": {"weight": qkv[..., nq:nq + nkv, :]},
+            "v_proj": {"weight": qkv[..., nq + nkv:, :]},
+            "o_proj": attn["o_proj"],
+            "q_norm": attn["q_norm"],
+            "k_norm": attn["k_norm"],
+        },
+        "mlp": {
+            "gate_proj": {"weight": gu[..., :inter, :]},
+            "up_proj": {"weight": gu[..., inter:, :]},
+            "down_proj": stacked["mlp"]["down_proj"],
+        },
+        "input_layernorm": stacked["input_layernorm"],
+        "post_attention_layernorm": stacked["post_attention_layernorm"],
+    }
+
+
+def talker_params_to_state_dict(prepared: Dict[str, Any], cfg,
                                 prefix: str = "talker") -> Dict[str, np.ndarray]:
     """Invert `prepare_talker_params`: stacked pytree -> reference-format
     state-dict names (for checkpoint save after finetuning)."""
@@ -146,7 +173,10 @@ def talker_params_to_state_dict(prepared: Dict[str, Any],
             for i in range(v.shape[0]):
                 out[f"{base}.{i}.{k}"] = np.asarray(v[i])
 
-    unstack(prepared["layers"], f"{prefix}.model.layers")
+    cp_cfg = cfg.code_predictor_config
+    unstack(_unfuse_layers(prepared["layers"], cfg.num_attention_heads,
+                           cfg.num_key_value_heads, cfg.resolved_head_dim),
+            f"{prefix}.model.layers")
     out[f"{prefix}.model.norm.weight"] = np.asarray(prepared["norm"]["weight"])
     out[f"{prefix}.model.codec_embedding.weight"] = np.asarray(prepared["codec_embedding"])
     out[f"{prefix}.model.text_embedding.weight"] = np.asarray(prepared["text_embedding"])
@@ -155,7 +185,9 @@ def talker_params_to_state_dict(prepared: Dict[str, Any],
     out[f"{prefix}.codec_head.weight"] = np.asarray(prepared["codec_head"])
 
     cp = prepared["code_predictor"]
-    unstack(cp["layers"], f"{prefix}.code_predictor.model.layers")
+    unstack(_unfuse_layers(cp["layers"], cp_cfg.num_attention_heads,
+                           cp_cfg.num_key_value_heads, cp_cfg.head_dim),
+            f"{prefix}.code_predictor.model.layers")
     out[f"{prefix}.code_predictor.model.norm.weight"] = np.asarray(cp["norm"]["weight"])
     for i in range(cp["embeddings"].shape[0]):
         out[f"{prefix}.code_predictor.model.codec_embedding.{i}.weight"] = \
@@ -207,13 +239,12 @@ def quantize_talker_params(prepared: Dict[str, Any]) -> Dict[str, Any]:
         layers = {k: (dict(v) if isinstance(v, dict) else v)
                   for k, v in layers.items()}
         attn = dict(layers["self_attn"])
-        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        for name in ("qkv_proj", "o_proj"):
             attn[name] = {"weight": quantize_weight_int8(attn[name]["weight"])}
-        layers["self_attn"] = {**layers["self_attn"], **attn}
-        mlp = {}
-        for name in ("gate_proj", "up_proj", "down_proj"):
-            mlp[name] = {"weight": quantize_weight_int8(
-                layers["mlp"][name]["weight"])}
+        layers["self_attn"] = attn
+        mlp = dict(layers["mlp"])
+        for name in ("gate_up_proj", "down_proj"):
+            mlp[name] = {"weight": quantize_weight_int8(mlp[name]["weight"])}
         layers["mlp"] = mlp
         return layers
 

@@ -127,7 +127,7 @@ def test_state_dict_roundtrip():
     cfg = TTSModelConfig.from_dict(dict(MODEL_TINY))
     tree = from_torch_state_dict(model.state_dict(), dtype=jnp.float32)
     params = prepare_talker_params(tree["talker"], cfg.talker_config)
-    sd = talker_params_to_state_dict(params)
+    sd = talker_params_to_state_dict(params, cfg.talker_config)
 
     want = {k: v.detach().float().numpy()
             for k, v in model.state_dict().items()
@@ -199,7 +199,7 @@ def test_sft_checkpoint_rewrite_and_reload(tmp_path):
     cfg_dict["talker_config"]["spk_is_dialect"] = {"newspeaker": False}
     json.dump(cfg_dict, open(out_dir / "config.json", "w"))
 
-    sd = talker_params_to_state_dict(model.talker_params)
+    sd = talker_params_to_state_dict(model.talker_params, model.config.talker_config)
     spk_vec = np.full((MODEL_TINY["talker_config"]["hidden_size"],), 0.05,
                       np.float32)
     emb = sd["talker.model.codec_embedding.weight"].copy()

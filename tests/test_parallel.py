@@ -81,17 +81,17 @@ def test_param_specs_follow_tp_plan():
     from qwen3_tts_tpu.parallel.mesh import talker_param_specs
 
     fake = {
-        "layers": {"self_attn": {"q_proj": {"weight": 0},
+        "layers": {"self_attn": {"qkv_proj": {"weight": 0},
                                  "o_proj": {"weight": 0}},
-                   "mlp": {"gate_proj": {"weight": 0},
+                   "mlp": {"gate_up_proj": {"weight": 0},
                            "down_proj": {"weight": 0}}},
         "codec_head": 0,
         "code_predictor": {"proj": None},
     }
     specs = talker_param_specs(fake)
-    assert specs["layers"]["self_attn"]["q_proj"]["weight"] == P(None, "tp", None)
+    assert specs["layers"]["self_attn"]["qkv_proj"]["weight"] == P(None, "tp", None)
     assert specs["layers"]["self_attn"]["o_proj"]["weight"] == P(None, None, "tp")
-    assert specs["layers"]["mlp"]["gate_proj"]["weight"] == P(None, "tp", None)
+    assert specs["layers"]["mlp"]["gate_up_proj"]["weight"] == P(None, "tp", None)
     assert specs["layers"]["mlp"]["down_proj"]["weight"] == P(None, None, "tp")
     assert specs["codec_head"] == P("tp", None)
     assert specs["code_predictor"]["proj"] is None
