@@ -253,7 +253,7 @@ class Qwen3TTSModel:
         return [codes[b, :lens[b]] for b in range(len(specs))]
 
     def _stream_run(self, specs: List[PromptSpec], gen_cfg: GenerationConfig,
-                    seed: Optional[int] = None):
+                    seed: Optional[int] = None, context_codes=None):
         """Streaming counterpart of _run: yields (wav_chunk (B, samples), sr)
         packets as the dual-track session produces them."""
         from ..runtime.streaming import StreamingSession
@@ -271,7 +271,8 @@ class Qwen3TTSModel:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None
                                  else seed)
         sr = tok.get_output_sample_rate()
-        for pkt in session.run(embeds, mask, trailing, pad, key):
+        for pkt in session.run(embeds, mask, trailing, pad, key,
+                               context_codes=context_codes):
             yield pkt.wav, sr
 
     def stream_custom_voice(self, text, speaker, language=None, instruct=None,
@@ -409,20 +410,16 @@ class Qwen3TTSModel:
         codes = self._run(specs, self._generation_config(kw), seed=seed)
         return self.speech_tokenizer.decode([{"audio_codes": c} for c in codes])
 
-    def generate_voice_design(self, text, instruct, language=None,
-                              non_streaming_mode: bool = True,
-                              seed: Optional[int] = None, **kwargs):
-        """Reference: qwen3_tts_model.py:636-728."""
+    def _specs_voice_design(self, text, instruct, language, non_streaming):
         if self.tts_model_type != "voice_design":
             raise ValueError(
                 f"model type {self.tts_model_type} does not support "
-                "generate_voice_design")
+                "voice design")
         texts = self._ensure_list(text)
         n = len(texts)
         languages = self._broadcast(language, n, default="Auto")
         instructs = self._broadcast(instruct, n)
         self._validate_languages(languages)
-
         specs = []
         for t, lang, ins in zip(texts, languages, instructs):
             specs.append(PromptSpec(
@@ -430,22 +427,33 @@ class Qwen3TTSModel:
                 language_id=self._language_id(lang, None),
                 instruct_id=(self._tokenize(self._build_instruct_text(ins))
                              if ins else None),
-                non_streaming=non_streaming_mode))
+                non_streaming=non_streaming))
+        return specs
+
+    def generate_voice_design(self, text, instruct, language=None,
+                              non_streaming_mode: bool = True,
+                              seed: Optional[int] = None, **kwargs):
+        """Reference: qwen3_tts_model.py:636-728."""
+        specs = self._specs_voice_design(text, instruct, language,
+                                         non_streaming_mode)
         kw = self._merge_generate_kwargs(**kwargs)
         codes = self._run(specs, self._generation_config(kw), seed=seed)
         return self.speech_tokenizer.decode([{"audio_codes": c} for c in codes])
 
-    def generate_voice_clone(self, text, language=None, ref_audio=None,
-                             ref_text=None, x_vector_only_mode=False,
-                             voice_clone_prompt=None,
-                             non_streaming_mode: bool = False,
-                             seed: Optional[int] = None, **kwargs):
-        """Reference: qwen3_tts_model.py:469-633 (incl. ref-code prepend to
-        the vocoder and proportional wav-prefix cut, 612-632)."""
+    def stream_voice_design(self, text, instruct, language=None,
+                            seed: Optional[int] = None, **kwargs):
+        """Streaming voice design: yields (wav_chunk, sr) packets."""
+        specs = self._specs_voice_design(text, instruct, language, False)
+        kw = self._merge_generate_kwargs(**kwargs)
+        return self._stream_run(specs, self._generation_config(kw), seed=seed)
+
+    def _specs_voice_clone(self, text, language, ref_audio, ref_text,
+                           x_vector_only_mode, voice_clone_prompt,
+                           non_streaming):
         if self.tts_model_type != "base":
             raise ValueError(
                 f"model type {self.tts_model_type} does not support "
-                "generate_voice_clone")
+                "voice clone")
         texts = self._ensure_list(text)
         n = len(texts)
         languages = self._broadcast(language, n, default="Auto")
@@ -478,7 +486,19 @@ class Qwen3TTSModel:
                 ref_id=(self._tokenize(self._build_ref_text(item.ref_text))
                         if icl else None),
                 ref_code=item.ref_code if icl else None,
-                non_streaming=non_streaming_mode))
+                non_streaming=non_streaming))
+        return specs, items
+
+    def generate_voice_clone(self, text, language=None, ref_audio=None,
+                             ref_text=None, x_vector_only_mode=False,
+                             voice_clone_prompt=None,
+                             non_streaming_mode: bool = False,
+                             seed: Optional[int] = None, **kwargs):
+        """Reference: qwen3_tts_model.py:469-633 (incl. ref-code prepend to
+        the vocoder and proportional wav-prefix cut, 612-632)."""
+        specs, items = self._specs_voice_clone(
+            text, language, ref_audio, ref_text, x_vector_only_mode,
+            voice_clone_prompt, non_streaming_mode)
         kw = self._merge_generate_kwargs(**kwargs)
         codes = self._run(specs, self._generation_config(kw), seed=seed)
 
@@ -501,6 +521,29 @@ class Qwen3TTSModel:
             else:
                 out.append(wav)
         return out, fs
+
+    def stream_voice_clone(self, text, language=None, ref_audio=None,
+                           ref_text=None, x_vector_only_mode=False,
+                           voice_clone_prompt=None,
+                           seed: Optional[int] = None, **kwargs):
+        """Streaming voice clone: yields (wav_chunk, sr) packets of generated
+        audio only — the reference codes serve as vocoder left context."""
+        specs, items = self._specs_voice_clone(
+            text, language, ref_audio, ref_text, x_vector_only_mode,
+            voice_clone_prompt, False)
+        # assemble (B, Q, T0) context, left-padded across ragged ref lengths
+        ref_codes = [np.asarray(it.ref_code) for it in items
+                     if it.ref_code is not None]
+        context = None
+        if ref_codes and len(ref_codes) == len(items):
+            q = ref_codes[0].shape[1]
+            t0 = max(c.shape[0] for c in ref_codes)
+            context = np.zeros((len(items), q, t0), np.int32)
+            for i, c in enumerate(ref_codes):
+                context[i, :, t0 - c.shape[0]:] = c.T
+        kw = self._merge_generate_kwargs(**kwargs)
+        return self._stream_run(specs, self._generation_config(kw), seed=seed,
+                                context_codes=context)
 
     def _broadcast(self, x, n, default=None):
         if x is None:

@@ -302,6 +302,13 @@ class ContinuousBatchingEngine:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
+            T = req.inputs_embeds.shape[1]
+            S = self.state.cache.k.shape[2]
+            if T >= S:
+                raise ValueError(
+                    f"prompt length {T} exceeds engine max_len {S}")
+            # bound generation by the remaining cache capacity
+            req.max_frames = min(req.max_frames, S - T - 1)
             self.key, sub = jax.random.split(self.key)
             self.state = admit_request(
                 self.params, self.cfg, self.state, self.gen_cfg,

@@ -97,8 +97,12 @@ class StreamingSession:
 
     def run(self, inputs_embeds: jax.Array, attn_mask: jax.Array,
             trailing_text: jax.Array, tts_pad_embed: jax.Array,
-            key: jax.Array) -> Iterator[StreamPacket]:
-        """Generate and yield audio packets as they become available."""
+            key: jax.Array, context_codes=None) -> Iterator[StreamPacket]:
+        """Generate and yield audio packets as they become available.
+
+        `context_codes` (B, Q, T0) optional: pre-existing codec frames (e.g.
+        a voice-clone reference) used as vocoder left context only — their
+        audio is never emitted."""
         cfg, gen_cfg = self.talker_cfg, self.gen_cfg
         B, T, _ = inputs_embeds.shape
         M = gen_cfg.max_new_tokens
@@ -115,12 +119,16 @@ class StreamingSession:
 
         # device-resident code history: each talker chunk feeds the vocoder
         # without a host round-trip; only finished audio crosses to the host
-        codes_buf = jnp.zeros((B, Q, max_frames), jnp.int32)
-        emitted = 0
+        T0 = 0 if context_codes is None else context_codes.shape[-1]
+        codes_buf = jnp.zeros((B, Q, T0 + max_frames), jnp.int32)
+        if T0:
+            codes_buf = codes_buf.at[:, :, :T0].set(
+                jnp.asarray(context_codes, jnp.int32))
+        emitted = T0
 
         for k in self._chunk_schedule(max_frames):
             # static attention bucket covering this chunk's final length
-            needed = T + emitted + k + 1
+            needed = T + (emitted - T0) + k + 1
             attend = min(S, ((needed + 255) // 256) * 256)
             state, frames, active = decode_chunk(
                 self.talker_params, cfg, gen_cfg, const, state, k,
@@ -136,7 +144,7 @@ class StreamingSession:
 
             yield StreamPacket(
                 wav=wav.astype(np.float32),
-                frame_start=emitted,
+                frame_start=emitted - T0,
                 frame_count=k,
                 active_frames=active_np.sum(axis=1),
                 latency_s=time.time() - t_start,
@@ -146,14 +154,15 @@ class StreamingSession:
                 break
 
     def synthesize(self, inputs_embeds, attn_mask, trailing_text,
-                   tts_pad_embed, key) -> Tuple[List[np.ndarray], float]:
+                   tts_pad_embed, key,
+                   context_codes=None) -> Tuple[List[np.ndarray], float]:
         """Run the stream to completion; returns (per-sample wavs trimmed to
         their generated lengths, first-packet latency in seconds)."""
         up = self.vocoder_cfg.total_upsample
         packets = []
         first_latency = None
         for pkt in self.run(inputs_embeds, attn_mask, trailing_text,
-                            tts_pad_embed, key):
+                            tts_pad_embed, key, context_codes=context_codes):
             if first_latency is None:
                 first_latency = pkt.latency_s
             packets.append(pkt)
