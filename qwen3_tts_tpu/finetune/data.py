@@ -81,7 +81,9 @@ class TTSDataset:
         if sr != 24000:
             wav = resample(wav, sr, 24000)
             sr = 24000
-        mel = np.asarray(mel_spectrogram(wav[None], n_fft=1024, num_mels=128,
+        n_mels = self.config.speaker_encoder_config.mel_dim
+        mel = np.asarray(mel_spectrogram(wav[None], n_fft=1024,
+                                         num_mels=n_mels,
                                          sampling_rate=24000, hop_size=256,
                                          win_size=1024, fmin=0, fmax=12000))
         return {

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(argv=None):
+def main(argv=None, processor=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--init_model_path", type=str, required=True)
     parser.add_argument("--output_model_path", type=str, default="output")
@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=2e-5)
     parser.add_argument("--num_epochs", type=int, default=3)
     parser.add_argument("--speaker_name", type=str, default="speaker_test")
+    parser.add_argument("--speaker_row", type=int, default=3000,
+                        help="codec_embedding row that stores the learned "
+                             "speaker (reference uses 3000)")
     parser.add_argument("--grad_accum", type=int, default=4)
     parser.add_argument("--dp", type=int, default=1)
     parser.add_argument("--tp", type=int, default=1)
@@ -52,6 +55,8 @@ def main(argv=None):
 
     model = Qwen3TTSModel.from_pretrained(args.init_model_path,
                                           dtype=jnp.bfloat16)
+    if processor is not None:
+        model.processor = processor
     cfg = model.config
     tc = cfg.talker_config
 
@@ -102,7 +107,7 @@ def main(argv=None):
             config_dict = json.load(f)
         config_dict["tts_model_type"] = "custom_voice"
         talker_cfg = config_dict.get("talker_config", {})
-        talker_cfg["spk_id"] = {args.speaker_name: 3000}
+        talker_cfg["spk_id"] = {args.speaker_name: args.speaker_row}
         talker_cfg["spk_is_dialect"] = {args.speaker_name: False}
         config_dict["talker_config"] = talker_cfg
         with open(os.path.join(out_dir, "config.json"), "w",
@@ -111,7 +116,7 @@ def main(argv=None):
 
         sd = talker_params_to_state_dict(jax.device_get(params), tc)
         emb = sd["talker.model.codec_embedding.weight"].copy()
-        emb[3000] = target_speaker_embedding.astype(emb.dtype)
+        emb[args.speaker_row] = target_speaker_embedding.astype(emb.dtype)
         sd["talker.model.codec_embedding.weight"] = emb
         save_safetensors(os.path.join(out_dir, "model.safetensors"),
                          {k: v.astype(np.float32) for k, v in sd.items()})

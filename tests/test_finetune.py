@@ -257,3 +257,89 @@ def test_prepare_data_jsonl(tmp_path):
         codes = np.asarray(r["audio_codes"])
         assert codes.ndim == 2 and codes.shape[1] == 4
         assert codes.shape[0] >= 1
+
+
+@requires_reference
+def test_sft_driver_end_to_end(tmp_path):
+    """Run the actual finetune driver for one epoch on a tiny checkpoint:
+    trains, saves a reloadable custom_voice checkpoint with the new speaker."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from qwen3_tts_tpu.finetune import sft
+    from qwen3_tts_tpu.utils.audio import write_wav
+    import tests.test_inference_api as tia
+    from tests.test_inference_api import FakeTokenizer
+
+    # base-type checkpoint (has the speaker encoder the SFT loop needs)
+    import torch
+    from safetensors.torch import save_file
+    from tests.test_pipeline_parity import MODEL_TINY as MT, _make_reference_model
+    from tests.test_codec12_decoder import TINY as DEC_TINY, _make_reference_decoder
+    from tests.test_codec12_encoder import TINY as ENC_TINY, _make_reference_encoder
+
+    root = tmp_path / "base_ckpt"
+    root.mkdir()
+    _, rcfg, model_t = _make_reference_model(model_type="base")
+    save_file({k: v.contiguous() for k, v in model_t.state_dict().items()},
+              str(root / "model.safetensors"))
+    cfg_json = dict(MT)
+    cfg_json["model_type"] = "qwen3_tts"
+    cfg_json["tts_model_type"] = "base"
+    _json.dump(cfg_json, open(root / "config.json", "w"))
+    _json.dump({"do_sample": False, "subtalker_dosample": False,
+                "max_new_tokens": 5}, open(root / "generation_config.json", "w"))
+    tok_dir = root / "speech_tokenizer"
+    os.makedirs(tok_dir)
+    _, enc_model = _make_reference_encoder()
+    _, _, dec_model = _make_reference_decoder()
+    tok_sd = {f"encoder.{k}": v.contiguous()
+              for k, v in enc_model.state_dict().items()}
+    tok_sd.update({f"decoder.{k}": v.contiguous()
+                   for k, v in dec_model.state_dict().items()})
+    save_file(tok_sd, str(tok_dir / "model.safetensors"))
+    _json.dump({"model_type": "qwen3_tts_tokenizer_12hz",
+                "encoder_config": dict(ENC_TINY),
+                "decoder_config": {k: list(v) if isinstance(v, tuple) else v
+                                   for k, v in DEC_TINY.items()},
+                "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
+                "input_sample_rate": ENC_TINY["sampling_rate"],
+                "output_sample_rate": 1000, "decode_upsample_rate": 64,
+                "encode_downsample_rate": 16},
+               open(tok_dir / "config.json", "w"))
+    ckpt = str(root)
+
+    # training data: tiny synthetic wavs (dataset resamples ref audio to 24k)
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(2):
+        wav = rng.uniform(-0.4, 0.4, size=(2000,)).astype(np.float32)
+        path = str(tmp_path / f"train{i}.wav")
+        write_wav(path, wav, 24000)
+        rows.append({"audio": path, "text": f"training sample {i}",
+                     "ref_audio": path,
+                     "audio_codes": rng.integers(0, 60, size=(4, 4)).tolist()})
+    jsonl = tmp_path / "train.jsonl"
+    with open(jsonl, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    out_dir = tmp_path / "sft_out"
+    sft.main([
+        "--init_model_path", ckpt,
+        "--train_jsonl", str(jsonl),
+        "--output_model_path", str(out_dir),
+        "--batch_size", "2", "--num_epochs", "1", "--grad_accum", "1",
+        "--speaker_name", "tuned", "--speaker_row", "1030",
+    ], processor=FakeTokenizer())
+
+    tuned_dir = out_dir / "checkpoint-epoch-0"
+    assert (tuned_dir / "model.safetensors").exists()
+    tuned = Qwen3TTSModel.from_pretrained(str(tuned_dir), dtype=jnp.float32)
+    tuned.processor = FakeTokenizer()
+    assert tuned.get_supported_speakers() == ["tuned"]
+    wavs, sr = tuned.generate_custom_voice(text="post finetune",
+                                           speaker="tuned", seed=0)
+    assert np.isfinite(wavs[0]).all()
