@@ -163,10 +163,15 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
 
     nq = dims.heads * dims.head_dim
     nkv = dims.kv_heads * dims.head_dim
+    S_att = cache.k.shape[2] if attend_len is None else attend_len
 
+    # The caches ride in the scan CARRY (full (L, B, S, Hkv, D) buffers with
+    # a per-layer dynamic_update_slice), not as scanned xs/ys: loop-carried
+    # buffers stay in place across iterations, while xs->ys caches would be
+    # copied wholesale every step (ruinous at long context).
     def body(carry, xs):
-        hh = carry
-        lp, kc, vc = xs
+        hh, kfull, vfull = carry
+        lp, idx = xs
         attn = lp["self_attn"]
         x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
         qkv = matmul_t(x, attn["qkv_proj"]["weight"])
@@ -177,11 +182,17 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
         k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
         q, k = apply_rope(q, k, cos, sin)
 
-        kc = jax.lax.dynamic_update_slice(kc, k.astype(kc.dtype), (0, offset, 0, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v.astype(vc.dtype), (0, offset, 0, 0))
+        kfull = jax.lax.dynamic_update_slice(
+            kfull, k.astype(kfull.dtype)[None], (idx, 0, offset, 0, 0))
+        vfull = jax.lax.dynamic_update_slice(
+            vfull, v.astype(vfull.dtype)[None], (idx, 0, offset, 0, 0))
+        k_att = jax.lax.dynamic_slice(
+            kfull, (idx, 0, 0, 0, 0),
+            (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
+        v_att = jax.lax.dynamic_slice(
+            vfull, (idx, 0, 0, 0, 0),
+            (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
 
-        k_att = kc if attend_len is None else kc[:, :attend_len]
-        v_att = vc if attend_len is None else vc[:, :attend_len]
         o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
         o = matmul_t(o.reshape(B, T, dims.heads * dims.head_dim), attn["o_proj"]["weight"])
         hh = hh + o
@@ -195,10 +206,12 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
         gate = jax.nn.silu(gu[..., :inter])
         up = gu[..., inter:]
         hh = hh + matmul_t(gate * up, mlp["down_proj"]["weight"])
-        return hh, (kc, vc)
+        return (hh, kfull, vfull), None
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v),
-                                     unroll=unroll)
+    n_layers = cache.k.shape[0]
+    (h, k_new, v_new), _ = jax.lax.scan(
+        body, (h, cache.k, cache.v),
+        (stacked, jnp.arange(n_layers)), unroll=unroll)
     h = rms_norm(h, norm["weight"], dims.eps)
     return h, KVCache(k_new, v_new)
 

@@ -148,10 +148,12 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
     rows = jnp.arange(B)
     nq = dims.heads * dims.head_dim
     nkv = dims.kv_heads * dims.head_dim
+    S_att = cache.k.shape[2] if attend_len is None else attend_len
 
+    # caches ride in the carry (in-place loop buffers) — see decoder_stack
     def body(carry, xs):
-        hh = carry
-        lp, kc, vc = xs
+        hh, kfull, vfull = carry
+        lp, idx = xs
         attn = lp["self_attn"]
         x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
         qkv = matmul_t(x, attn["qkv_proj"]["weight"])
@@ -162,13 +164,17 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
         q, k = apply_rope(q, k, cos, sin)
 
-        kc = kc.at[rows, slot_index].set(k[:, 0].astype(kc.dtype))
-        vc = vc.at[rows, slot_index].set(v[:, 0].astype(vc.dtype))
+        kfull = kfull.at[idx, rows, slot_index].set(k[:, 0].astype(kfull.dtype))
+        vfull = vfull.at[idx, rows, slot_index].set(v[:, 0].astype(vfull.dtype))
 
         from ..ops.attention import attention
 
-        k_att = kc if attend_len is None else kc[:, :attend_len]
-        v_att = vc if attend_len is None else vc[:, :attend_len]
+        k_att = jax.lax.dynamic_slice(
+            kfull, (idx, 0, 0, 0, 0),
+            (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
+        v_att = jax.lax.dynamic_slice(
+            vfull, (idx, 0, 0, 0, 0),
+            (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
         o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
         o = matmul_t(o.reshape(B, 1, dims.heads * dims.head_dim), attn["o_proj"]["weight"])
         hh = hh + o
@@ -179,9 +185,11 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         gu = matmul_t(x, w_gu)
         hh = hh + matmul_t(jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
                            mlp["down_proj"]["weight"])
-        return hh, (kc, vc)
+        return (hh, kfull, vfull), None
 
-    h, (k_new, v_new) = jax.lax.scan(body, h, (stacked, cache.k, cache.v))
+    n_layers = cache.k.shape[0]
+    (h, k_new, v_new), _ = jax.lax.scan(
+        body, (h, cache.k, cache.v), (stacked, jnp.arange(n_layers)))
     h = rms_norm(h, norm["weight"], dims.eps)
     return h, KVCache(k_new, v_new)
 
