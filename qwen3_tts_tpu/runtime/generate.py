@@ -176,7 +176,8 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     return new_state, frame, last_hidden[:, 0], active
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len"))
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len"),
+         donate_argnums=(4,))
 def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
                  const: DecodeConst, state: DecodeState, num_frames: int,
                  attend_len: Optional[int] = None
