@@ -150,7 +150,9 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
                   cos: jax.Array, sin: jax.Array, mask_bias: jax.Array,
                   cache: KVCache, offset,
                   attend_len: Optional[int] = None,
-                  unroll: int = 1) -> Tuple[jax.Array, KVCache]:
+                  unroll: int = 1,
+                  window: Optional[Tuple[jax.Array, jax.Array]] = None
+                  ) -> Tuple[jax.Array, KVCache]:
     """Run all layers. h: (B, T, hidden); mask_bias: (B, 1, T, S') additive
     where S' = attend_len or the full cache size.
 
@@ -158,8 +160,14 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
     `attend_len` cache slots (a static host-chosen bucket covering the
     current sequence length — avoids streaming the whole preallocated buffer
     from HBM every decode step; invalid slots masked by mask_bias).
+
+    `window=(start, end)` (each (B,)) switches T==1 decode attention onto the
+    Pallas flash-decode kernel with a contiguous validity window (DMA-skips
+    out-of-window blocks); mask_bias is ignored on that path.
     """
     B, T, _ = h.shape
+    use_pallas = window is not None and T == 1
+    pallas_interpret = jax.devices()[0].platform != "tpu"
 
     nq = dims.heads * dims.head_dim
     nkv = dims.kv_heads * dims.head_dim
@@ -193,7 +201,15 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
             vfull, (idx, 0, 0, 0, 0),
             (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
 
-        o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
+        if use_pallas:
+            from ..ops.pallas.decode_attention import decode_attention
+
+            o = decode_attention(q[:, 0], k_att.astype(x.dtype),
+                                 v_att.astype(x.dtype), window[0], window[1],
+                                 interpret=pallas_interpret)[:, None]
+        else:
+            o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype),
+                          mask_bias)
         o = matmul_t(o.reshape(B, T, dims.heads * dims.head_dim), attn["o_proj"]["weight"])
         hh = hh + o
 
@@ -271,11 +287,14 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
 
 def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
                        position: jax.Array, cache_index, kv_valid: jax.Array,
-                       cache: KVCache, attend_len: Optional[int] = None
+                       cache: KVCache, attend_len: Optional[int] = None,
+                       window: Optional[Tuple[jax.Array, jax.Array]] = None
                        ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """One decode step. embed: (B, 1, H); position: (B,) rope position;
     cache_index: scalar slot to write; kv_valid: (B, S) valid slots incl. the
-    new one; attend_len: optional static bucket bounding the attended window.
+    new one; attend_len: optional static bucket bounding the attended window;
+    window=(start, end): contiguous validity, routes attention onto the
+    Pallas flash-decode kernel.
     Returns (logits (B, V), hidden (B,1,H), cache)."""
     B = embed.shape[0]
     S = cache.k.shape[2] if attend_len is None else attend_len
@@ -285,6 +304,10 @@ def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
     ok = (slot <= cache_index) & kv_valid[:, :S]
     if cfg.sliding_window is not None:
         ok &= slot > (cache_index - cfg.sliding_window)
+        if window is not None:
+            window = (jnp.maximum(window[0],
+                                  cache_index - cfg.sliding_window + 1),
+                      window[1])
     bias = mask_to_bias(ok[:, None, None, :])
 
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
@@ -292,7 +315,7 @@ def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
 
     h, cache = decoder_stack(params["layers"], params["norm"], dims, embed,
                              cos, sin, bias, cache, cache_index,
-                             attend_len=attend_len)
+                             attend_len=attend_len, window=window)
     logits = matmul_t(h[:, 0].astype(jnp.float32), params["codec_head"])
     return logits, h, cache
 
