@@ -28,7 +28,8 @@ from ..config import TTSModelConfig, load_config
 from ..models.speaker_encoder import extract_speaker_embedding
 from ..models.talker import prepare_talker_params
 from ..ops.sampling import SamplingParams
-from ..runtime.generate import GenerationConfig, generate_frames
+from ..runtime.generate import (GenerationConfig,
+                                generate_frames_chunked)
 from ..runtime.prompts import PromptSpec, batch_prompts, build_prompt
 from ..utils.audio import AudioLike, normalize_audio_inputs, resample
 from ..weights import load_safetensors_dir
@@ -246,8 +247,8 @@ class Qwen3TTSModel:
         embeds, mask, trailing, pad = batch_prompts(prompts, bucket=32)
         key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None
                                  else seed)
-        out = generate_frames(self.talker_params, tc, gen_cfg, embeds, mask,
-                              trailing, pad, key)
+        out = generate_frames_chunked(self.talker_params, tc, gen_cfg,
+                                      embeds, mask, trailing, pad, key)
         codes = np.asarray(out.codes)
         lens = np.asarray(out.lengths)
         return [codes[b, :lens[b]] for b in range(len(specs))]

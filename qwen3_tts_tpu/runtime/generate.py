@@ -30,6 +30,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import TalkerConfig
 from ..models.talker import (KVCache, StackDims, code_predictor_frame,
@@ -209,6 +210,53 @@ def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     state, (frames, active) = jax.lax.scan(body, state, None,
                                            length=num_frames)
     return state, jnp.swapaxes(frames, 0, 1), jnp.swapaxes(active, 0, 1)
+
+
+def generate_frames_chunked(params: Params, cfg: TalkerConfig,
+                            gen_cfg: GenerationConfig,
+                            inputs_embeds: jax.Array, attn_mask: jax.Array,
+                            trailing_text: jax.Array, tts_pad_embed: jax.Array,
+                            key: jax.Array, chunk: int = 64,
+                            attend_bucket: int = 256) -> GenerationResult:
+    """Host-chunked batch generation: same results as `generate_frames`, but
+    each chunk attends only a length bucket of the KV buffer (the while_loop
+    variant must read the full preallocated buffer every step, which at
+    max_new_tokens=2048 roughly doubles decode cost) and generation stops at
+    chunk granularity once every sample hit EOS."""
+    B, T, H = inputs_embeds.shape
+    Q = cfg.num_code_groups
+    M = gen_cfg.max_new_tokens
+    max_frames = M - 1
+    S = T + M + 1
+
+    state, const = init_decode_state(params, cfg, gen_cfg, inputs_embeds,
+                                     attn_mask, trailing_text, tts_pad_embed,
+                                     key, S)
+    frames_out = []
+    active_out = []
+    hidden = jnp.zeros((B, 0, H), inputs_embeds.dtype)
+    emitted = 0
+    while emitted < max_frames:
+        k = min(chunk, max_frames - emitted)
+        needed = T + emitted + k + 1
+        attend = min(S, ((needed + attend_bucket - 1)
+                         // attend_bucket) * attend_bucket)
+        state, frames, active = decode_chunk(params, cfg, gen_cfg, const,
+                                             state, k, attend_len=attend)
+        frames_out.append(np.asarray(frames))
+        active_out.append(np.asarray(active))
+        emitted += k
+        if bool(np.asarray(state.done).all()):
+            break
+
+    codes = np.concatenate(frames_out, axis=1)
+    active = np.concatenate(active_out, axis=1)
+    codes = np.where(active[..., None], codes, 0)
+    lengths = active.sum(axis=1).astype(np.int32)
+    pad_to = max_frames - codes.shape[1]
+    if pad_to > 0:
+        codes = np.pad(codes, ((0, 0), (0, pad_to), (0, 0)))
+    return GenerationResult(jnp.asarray(codes), jnp.asarray(lengths), hidden)
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg"))
