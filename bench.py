@@ -30,8 +30,7 @@ import numpy as np
 
 def main():
     from qwen3_tts_tpu.ops.sampling import SamplingParams
-    from qwen3_tts_tpu.runtime.generate import (GenerationConfig,
-                                                generate_frames_chunked)
+    from qwen3_tts_tpu.runtime.generate import GenerationConfig, generate_frames
     from qwen3_tts_tpu.utils.testing import TALKER_1B7, random_talker_params
 
     cfg = TALKER_1B7
@@ -60,9 +59,8 @@ def main():
     pad = jnp.zeros((1, 1, cfg.hidden_size), dtype)
 
     def run(key):
-        # the production decode path: chunked + length-bucketed attention
-        return generate_frames_chunked(params, cfg, gen_cfg, embeds, mask,
-                                       trailing, pad, key, chunk=32)
+        return generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
+                               pad, key)
 
     # warmup / compile (np.asarray forces D2H; on the axon backend
     # block_until_ready can return before execution completes)
@@ -71,6 +69,7 @@ def main():
     t0 = time.time()
     out = run(jax.random.PRNGKey(3))
     lengths = np.asarray(out.lengths)
+    np.asarray(out.codes)
     wall = time.time() - t0
 
     frames = int(lengths.sum())

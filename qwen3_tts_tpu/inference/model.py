@@ -28,7 +28,7 @@ from ..config import TTSModelConfig, load_config
 from ..models.speaker_encoder import extract_speaker_embedding
 from ..models.talker import prepare_talker_params
 from ..ops.sampling import SamplingParams
-from ..runtime.generate import (GenerationConfig,
+from ..runtime.generate import (GenerationConfig, generate_frames,
                                 generate_frames_chunked)
 from ..runtime.prompts import PromptSpec, batch_prompts, build_prompt
 from ..utils.audio import AudioLike, normalize_audio_inputs, resample
@@ -247,8 +247,15 @@ class Qwen3TTSModel:
         embeds, mask, trailing, pad = batch_prompts(prompts, bucket=32)
         key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None
                                  else seed)
-        out = generate_frames_chunked(self.talker_params, tc, gen_cfg,
-                                      embeds, mask, trailing, pad, key)
+        # the fused while_loop program wins below ~1024 frames; beyond that
+        # the chunked path's attention length-buckets outweigh its per-chunk
+        # host syncs (measured on v5e)
+        if gen_cfg.max_new_tokens > 1024:
+            out = generate_frames_chunked(self.talker_params, tc, gen_cfg,
+                                          embeds, mask, trailing, pad, key)
+        else:
+            out = generate_frames(self.talker_params, tc, gen_cfg, embeds,
+                                  mask, trailing, pad, key)
         codes = np.asarray(out.codes)
         lens = np.asarray(out.lengths)
         return [codes[b, :lens[b]] for b in range(len(specs))]
