@@ -257,3 +257,59 @@ def test_stream_voice_clone_with_prompt(tmp_path):
     assert len(chunks) >= 1
     total = sum(c[0].shape[-1] for c in chunks)
     assert total > 0 and all(np.isfinite(c[0]).all() for c in chunks)
+
+
+def test_stream_voice_design(tmp_path):
+    import json
+
+    import jax.numpy as jnp
+    from safetensors.torch import save_file
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from tests.test_pipeline_parity import _make_reference_model
+    from tests.test_codec12_decoder import _make_reference_decoder
+    from tests.test_codec12_encoder import _make_reference_encoder
+
+    root = tmp_path / "vd_ckpt"
+    root.mkdir()
+    _, rcfg, model_t = _make_reference_model(model_type="voice_design")
+    save_file({k: v.contiguous() for k, v in model_t.state_dict().items()},
+              str(root / "model.safetensors"))
+    cfg_json = dict(MODEL_TINY)
+    cfg_json["model_type"] = "qwen3_tts"
+    cfg_json["tts_model_type"] = "voice_design"
+    json.dump(cfg_json, open(root / "config.json", "w"))
+    json.dump({"do_sample": False, "subtalker_dosample": False,
+               "max_new_tokens": 6}, open(root / "generation_config.json", "w"))
+    tok_dir = root / "speech_tokenizer"
+    os.makedirs(tok_dir)
+    _, enc_model = _make_reference_encoder()
+    _, _, dec_model = _make_reference_decoder()
+    tok_sd = {f"encoder.{k}": v.contiguous()
+              for k, v in enc_model.state_dict().items()}
+    tok_sd.update({f"decoder.{k}": v.contiguous()
+                   for k, v in dec_model.state_dict().items()})
+    save_file(tok_sd, str(tok_dir / "model.safetensors"))
+    json.dump({"model_type": "qwen3_tts_tokenizer_12hz",
+               "encoder_config": dict(ENC_TINY),
+               "decoder_config": {k: list(v) if isinstance(v, tuple) else v
+                                  for k, v in DEC_TINY.items()},
+               "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
+               "input_sample_rate": ENC_TINY["sampling_rate"],
+               "output_sample_rate": 1000, "decode_upsample_rate": 64,
+               "encode_downsample_rate": 16},
+              open(tok_dir / "config.json", "w"))
+
+    model = Qwen3TTSModel.from_pretrained(str(root), dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+
+    # batch API
+    wavs, sr = model.generate_voice_design(
+        text="designed voice text", instruct="a deep calm narrator", seed=0)
+    assert np.isfinite(wavs[0]).all()
+
+    # streaming API
+    chunks = list(model.stream_voice_design(
+        text="designed stream", instruct="a deep calm narrator", seed=1))
+    assert len(chunks) >= 1
+    assert all(np.isfinite(c[0]).all() for c in chunks)
