@@ -150,7 +150,6 @@ def test_sft_checkpoint_rewrite_and_reload(tmp_path):
     from tests.test_inference_api import FakeTokenizer, tiny_checkpoint  # noqa: F401
 
     # build the base checkpoint via the shared fixture machinery
-    import tests.test_inference_api as tia
     import json
     import shutil
 
@@ -226,15 +225,10 @@ def test_prepare_data_jsonl(tmp_path):
     from qwen3_tts_tpu import Qwen3TTSTokenizer
     from qwen3_tts_tpu.finetune.data import prepare_data
     from qwen3_tts_tpu.utils.audio import write_wav
-    import tests.test_inference_api as tia
 
-    class _Factory:
-        def mktemp(self, name):
-            d = tmp_path / name
-            d.mkdir()
-            return d
+    from tests._fixtures import make_tiny_checkpoint
 
-    ckpt = tia.tiny_checkpoint.__wrapped__(_Factory())
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
     tok = Qwen3TTSTokenizer.from_pretrained(os.path.join(ckpt, "speech_tokenizer"))
 
     rng = np.random.default_rng(0)
@@ -270,46 +264,12 @@ def test_sft_driver_end_to_end(tmp_path):
     from qwen3_tts_tpu import Qwen3TTSModel
     from qwen3_tts_tpu.finetune import sft
     from qwen3_tts_tpu.utils.audio import write_wav
-    import tests.test_inference_api as tia
     from tests.test_inference_api import FakeTokenizer
 
     # base-type checkpoint (has the speaker encoder the SFT loop needs)
-    import torch
-    from safetensors.torch import save_file
-    from tests.test_pipeline_parity import MODEL_TINY as MT, _make_reference_model
-    from tests.test_codec12_decoder import TINY as DEC_TINY, _make_reference_decoder
-    from tests.test_codec12_encoder import TINY as ENC_TINY, _make_reference_encoder
+    from tests._fixtures import make_tiny_checkpoint
 
-    root = tmp_path / "base_ckpt"
-    root.mkdir()
-    _, rcfg, model_t = _make_reference_model(model_type="base")
-    save_file({k: v.contiguous() for k, v in model_t.state_dict().items()},
-              str(root / "model.safetensors"))
-    cfg_json = dict(MT)
-    cfg_json["model_type"] = "qwen3_tts"
-    cfg_json["tts_model_type"] = "base"
-    _json.dump(cfg_json, open(root / "config.json", "w"))
-    _json.dump({"do_sample": False, "subtalker_dosample": False,
-                "max_new_tokens": 5}, open(root / "generation_config.json", "w"))
-    tok_dir = root / "speech_tokenizer"
-    os.makedirs(tok_dir)
-    _, enc_model = _make_reference_encoder()
-    _, _, dec_model = _make_reference_decoder()
-    tok_sd = {f"encoder.{k}": v.contiguous()
-              for k, v in enc_model.state_dict().items()}
-    tok_sd.update({f"decoder.{k}": v.contiguous()
-                   for k, v in dec_model.state_dict().items()})
-    save_file(tok_sd, str(tok_dir / "model.safetensors"))
-    _json.dump({"model_type": "qwen3_tts_tokenizer_12hz",
-                "encoder_config": dict(ENC_TINY),
-                "decoder_config": {k: list(v) if isinstance(v, tuple) else v
-                                   for k, v in DEC_TINY.items()},
-                "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
-                "input_sample_rate": ENC_TINY["sampling_rate"],
-                "output_sample_rate": 1000, "decode_upsample_rate": 64,
-                "encode_downsample_rate": 16},
-               open(tok_dir / "config.json", "w"))
-    ckpt = str(root)
+    ckpt = make_tiny_checkpoint(tmp_path / "base_ckpt", model_type="base")
 
     # training data: tiny synthetic wavs (dataset resamples ref audio to 24k)
     rng = np.random.default_rng(0)

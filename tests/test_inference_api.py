@@ -29,53 +29,9 @@ class FakeTokenizer:
 def tiny_checkpoint(tmp_path_factory):
     if not reference_available():
         pytest.skip("reference repo not mounted")
-    import torch
-    from safetensors.torch import save_file
+    from tests._fixtures import make_tiny_checkpoint
 
-    from tests.test_codec12_decoder import _make_reference_decoder
-    from tests.test_codec12_encoder import _make_reference_encoder
-    from tests.test_pipeline_parity import _make_reference_model
-
-    root = tmp_path_factory.mktemp("ckpt")
-
-    # talker + speaker encoder
-    _, rcfg, model = _make_reference_model(model_type="custom_voice")
-    # reference state dict is already rooted at talker./speaker_encoder.
-    sd = {k: v.contiguous() for k, v in model.state_dict().items()}
-    save_file(sd, str(root / "model.safetensors"))
-
-    cfg_json = dict(MODEL_TINY)
-    cfg_json["model_type"] = "qwen3_tts"
-    with open(root / "config.json", "w") as f:
-        json.dump(cfg_json, f)
-    with open(root / "generation_config.json", "w") as f:
-        json.dump({"do_sample": False, "subtalker_dosample": False,
-                   "max_new_tokens": 6}, f)
-
-    # speech tokenizer subdir
-    tok_dir = root / "speech_tokenizer"
-    os.makedirs(tok_dir)
-    _, enc_model = _make_reference_encoder()
-    _, _, dec_model = _make_reference_decoder()
-    tok_sd = {}
-    tok_sd.update({f"encoder.{k}": v.contiguous()
-                   for k, v in enc_model.state_dict().items()})
-    tok_sd.update({f"decoder.{k}": v.contiguous()
-                   for k, v in dec_model.state_dict().items()})
-    save_file(tok_sd, str(tok_dir / "model.safetensors"))
-    with open(tok_dir / "config.json", "w") as f:
-        json.dump({
-            "model_type": "qwen3_tts_tokenizer_12hz",
-            "encoder_config": dict(ENC_TINY),
-            "decoder_config": {k: list(v) if isinstance(v, tuple) else v
-                               for k, v in DEC_TINY.items()},
-            "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
-            "input_sample_rate": ENC_TINY["sampling_rate"],
-            "output_sample_rate": 1000,
-            "decode_upsample_rate": 64,
-            "encode_downsample_rate": 16,
-        }, f)
-    return str(root)
+    return make_tiny_checkpoint(tmp_path_factory.mktemp("ckpt"))
 
 
 def test_from_pretrained_and_custom_voice(tiny_checkpoint):
@@ -212,37 +168,11 @@ def test_stream_voice_clone_with_prompt(tmp_path):
     from tests.test_codec12_decoder import _make_reference_decoder
     from tests.test_codec12_encoder import _make_reference_encoder
 
-    root = tmp_path / "base_ckpt"
-    root.mkdir()
-    _, rcfg, model_t = _make_reference_model(model_type="base")
-    save_file({k: v.contiguous() for k, v in model_t.state_dict().items()},
-              str(root / "model.safetensors"))
-    cfg_json = dict(MODEL_TINY)
-    cfg_json["model_type"] = "qwen3_tts"
-    cfg_json["tts_model_type"] = "base"
-    json.dump(cfg_json, open(root / "config.json", "w"))
-    json.dump({"do_sample": False, "subtalker_dosample": False,
-               "max_new_tokens": 6}, open(root / "generation_config.json", "w"))
-    tok_dir = root / "speech_tokenizer"
-    os.makedirs(tok_dir)
-    _, enc_model = _make_reference_encoder()
-    _, _, dec_model = _make_reference_decoder()
-    tok_sd = {f"encoder.{k}": v.contiguous()
-              for k, v in enc_model.state_dict().items()}
-    tok_sd.update({f"decoder.{k}": v.contiguous()
-                   for k, v in dec_model.state_dict().items()})
-    save_file(tok_sd, str(tok_dir / "model.safetensors"))
-    json.dump({"model_type": "qwen3_tts_tokenizer_12hz",
-               "encoder_config": dict(ENC_TINY),
-               "decoder_config": {k: list(v) if isinstance(v, tuple) else v
-                                  for k, v in DEC_TINY.items()},
-               "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
-               "input_sample_rate": ENC_TINY["sampling_rate"],
-               "output_sample_rate": 1000, "decode_upsample_rate": 64,
-               "encode_downsample_rate": 16},
-              open(tok_dir / "config.json", "w"))
+    from tests._fixtures import make_tiny_checkpoint
 
-    model = Qwen3TTSModel.from_pretrained(str(root), dtype=jnp.float32)
+    root = make_tiny_checkpoint(tmp_path / "base_ckpt", model_type="base")
+
+    model = Qwen3TTSModel.from_pretrained(root, dtype=jnp.float32)
     model.processor = FakeTokenizer()
 
     rng = np.random.default_rng(0)
@@ -270,37 +200,11 @@ def test_stream_voice_design(tmp_path):
     from tests.test_codec12_decoder import _make_reference_decoder
     from tests.test_codec12_encoder import _make_reference_encoder
 
-    root = tmp_path / "vd_ckpt"
-    root.mkdir()
-    _, rcfg, model_t = _make_reference_model(model_type="voice_design")
-    save_file({k: v.contiguous() for k, v in model_t.state_dict().items()},
-              str(root / "model.safetensors"))
-    cfg_json = dict(MODEL_TINY)
-    cfg_json["model_type"] = "qwen3_tts"
-    cfg_json["tts_model_type"] = "voice_design"
-    json.dump(cfg_json, open(root / "config.json", "w"))
-    json.dump({"do_sample": False, "subtalker_dosample": False,
-               "max_new_tokens": 6}, open(root / "generation_config.json", "w"))
-    tok_dir = root / "speech_tokenizer"
-    os.makedirs(tok_dir)
-    _, enc_model = _make_reference_encoder()
-    _, _, dec_model = _make_reference_decoder()
-    tok_sd = {f"encoder.{k}": v.contiguous()
-              for k, v in enc_model.state_dict().items()}
-    tok_sd.update({f"decoder.{k}": v.contiguous()
-                   for k, v in dec_model.state_dict().items()})
-    save_file(tok_sd, str(tok_dir / "model.safetensors"))
-    json.dump({"model_type": "qwen3_tts_tokenizer_12hz",
-               "encoder_config": dict(ENC_TINY),
-               "decoder_config": {k: list(v) if isinstance(v, tuple) else v
-                                  for k, v in DEC_TINY.items()},
-               "encoder_valid_num_quantizers": DEC_TINY["num_quantizers"],
-               "input_sample_rate": ENC_TINY["sampling_rate"],
-               "output_sample_rate": 1000, "decode_upsample_rate": 64,
-               "encode_downsample_rate": 16},
-              open(tok_dir / "config.json", "w"))
+    from tests._fixtures import make_tiny_checkpoint
 
-    model = Qwen3TTSModel.from_pretrained(str(root), dtype=jnp.float32)
+    root = make_tiny_checkpoint(tmp_path / "vd_ckpt", model_type="voice_design")
+
+    model = Qwen3TTSModel.from_pretrained(root, dtype=jnp.float32)
     model.processor = FakeTokenizer()
 
     # batch API

@@ -131,15 +131,10 @@ def test_http_demo_server_end_to_end(tmp_path):
     from tests.test_inference_api import FakeTokenizer
 
     # fabricate checkpoint via the existing fixture machinery
-    import tests.test_inference_api as tia
 
-    class _Factory:
-        def mktemp(self, name):
-            d = tmp_path / name
-            d.mkdir()
-            return d
+    from tests._fixtures import make_tiny_checkpoint
 
-    ckpt = tia.tiny_checkpoint.__wrapped__(_Factory())
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
     model = Qwen3TTSModel.from_pretrained(ckpt, dtype=jnp.float32)
     model.processor = FakeTokenizer()
 
@@ -204,15 +199,10 @@ def test_warmup_model(tmp_path):
 
     from qwen3_tts_tpu import Qwen3TTSModel
     from qwen3_tts_tpu.runtime.warmup import warmup_model
-    import tests.test_inference_api as tia
 
-    class _Factory:
-        def mktemp(self, name):
-            d = tmp_path / name
-            d.mkdir()
-            return d
+    from tests._fixtures import make_tiny_checkpoint
 
-    ckpt = tia.tiny_checkpoint.__wrapped__(_Factory())
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
     model = Qwen3TTSModel.from_pretrained(ckpt, dtype=jnp.float32)
     secs = warmup_model(model, prefill_buckets=(16,), batch_sizes=(1,),
                         max_new_tokens=4, verbose=False)
