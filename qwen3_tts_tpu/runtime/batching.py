@@ -194,9 +194,7 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
     return h, KVCache(k_new, v_new)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len"),
-         donate_argnums=(2,))
-def serve_step(params: Params, cfg: TalkerConfig, state: SlotState,
+def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
                gen_cfg: GenerationConfig, key: jax.Array,
                attend_len: Optional[int] = None
                ) -> Tuple[SlotState, jax.Array, jax.Array]:
@@ -264,6 +262,31 @@ def serve_step(params: Params, cfg: TalkerConfig, state: SlotState,
     return state, frames, emit
 
 
+serve_step = partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len"),
+                     donate_argnums=(2,))(_serve_step_core)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len", "ticks"),
+         donate_argnums=(2,))
+def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
+                gen_cfg: GenerationConfig, key: jax.Array, ticks: int,
+                attend_len: Optional[int] = None
+                ) -> Tuple[SlotState, jax.Array, jax.Array]:
+    """Advance every slot `ticks` frames in one device program (the host
+    syncs once per chunk instead of once per frame).
+
+    Returns (state, frames (B, ticks, Q), emit (B, ticks))."""
+    keys = jax.random.split(key, ticks)
+
+    def body(state, k):
+        state, frames, emit = _serve_step_core(params, cfg, state, gen_cfg,
+                                               k, attend_len)
+        return state, (frames, emit)
+
+    state, (frames, emit) = jax.lax.scan(body, state, keys)
+    return state, jnp.swapaxes(frames, 0, 1), jnp.swapaxes(emit, 0, 1)
+
+
 @dataclass
 class Request:
     request_id: int
@@ -287,7 +310,8 @@ class ContinuousBatchingEngine:
     def __init__(self, params: Params, cfg: TalkerConfig,
                  gen_cfg: GenerationConfig, num_slots: int = 8,
                  max_len: int = 3072, max_trailing: int = 512,
-                 dtype=jnp.bfloat16, seed: int = 0):
+                 dtype=jnp.bfloat16, seed: int = 0,
+                 ticks_per_sync: int = 8):
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
@@ -295,6 +319,7 @@ class ContinuousBatchingEngine:
                                      dtype)
         self.num_slots = num_slots
         self.key = jax.random.PRNGKey(seed)
+        self.ticks_per_sync = ticks_per_sync
         self.slot_req: List[Optional[Request]] = [None] * num_slots
         self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(num_slots)]
         self.pending: "queue.Queue[Request]" = queue.Queue()
@@ -326,27 +351,30 @@ class ContinuousBatchingEngine:
             self.slot_frames[slot] = []
 
     def step(self) -> List[Completion]:
-        """One engine tick: admit, advance all slots one frame, drain."""
+        """One engine tick: admit, advance all slots `ticks_per_sync` frames
+        on device, then drain finished slots (one host sync per chunk)."""
         self._try_admit()
         if not any(r is not None for r in self.slot_req):
             return []
         self.key, sub = jax.random.split(self.key)
-        # static attention bucket covering the furthest live slot
+        # static attention bucket covering the furthest live slot by chunk end
         S = self.state.cache.k.shape[2]
+        ticks = self.ticks_per_sync
         max_idx = int(np.asarray(self.state.prefill_len + self.state.t).max())
-        attend = min(S, ((max_idx + 2 + 255) // 256) * 256)
-        self.state, frames, emit = serve_step(self.params, self.cfg,
-                                              self.state, self.gen_cfg, sub,
-                                              attend_len=attend)
-        frames = np.asarray(frames)
-        emit = np.asarray(emit)
+        attend = min(S, ((max_idx + ticks + 1 + 255) // 256) * 256)
+        self.state, frames, emit = serve_chunk(self.params, self.cfg,
+                                               self.state, self.gen_cfg, sub,
+                                               ticks, attend_len=attend)
+        frames = np.asarray(frames)   # (B, ticks, Q)
+        emit = np.asarray(emit)       # (B, ticks)
         done = np.asarray(self.state.done)
         completions: List[Completion] = []
         for slot, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            if emit[slot]:
-                self.slot_frames[slot].append(frames[slot])
+            for t in range(ticks):
+                if emit[slot, t] and len(self.slot_frames[slot]) < req.max_frames:
+                    self.slot_frames[slot].append(frames[slot, t])
             finished = done[slot] or len(self.slot_frames[slot]) >= req.max_frames
             if finished:
                 codes = (np.stack(self.slot_frames[slot])
