@@ -41,9 +41,11 @@ def main():
                                 repetition_penalty=1.05),
         subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9))
 
+    ticks = int(os.environ.get("BENCH_TICKS", "8"))
     engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=slots,
                                       max_len=L + frames_per_req + 8,
-                                      max_trailing=32, dtype=dtype)
+                                      max_trailing=32, dtype=dtype,
+                                      ticks_per_sync=ticks)
 
     rng = jax.random.PRNGKey(1)
 
@@ -75,6 +77,7 @@ def main():
         "frames_per_s": round(frames / wall, 1),
         "requests": len(completions),
         "slots": slots,
+        "ticks_per_sync": ticks,
     }))
 
 
