@@ -76,6 +76,46 @@ def test_engine_matches_oneshot_greedy():
 
 
 @requires_reference
+def test_engine_ticks_per_sync_invariant():
+    """Chunked host syncs must not change the generated codes: a non-divisor
+    chunk size (3 ticks/sync vs 7 frames) and a one-tick engine must both
+    reproduce the one-shot generation."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    embeds, mask, trailing, pad = _random_inputs(55)
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    for ticks in (1, 3):
+        engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                          max_len=64, max_trailing=8,
+                                          dtype=jnp.float32,
+                                          ticks_per_sync=ticks)
+        for b in range(2):
+            n = int(mask[b].sum())
+            L = embeds.shape[1]
+            sl = slice(L - n, L)
+            engine.submit(Request(
+                request_id=b,
+                inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+                attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+                trailing=jnp.asarray(trailing[b:b + 1]),
+                trailing_len=trailing.shape[1],
+                tts_pad=jnp.asarray(pad),
+                max_frames=gen_cfg.max_new_tokens - 1))
+        got = {c.request_id: c.codes
+               for c in engine.run_until_drained()}
+        assert set(got) == {0, 1}, f"ticks_per_sync={ticks}"
+        for b in range(2):
+            np.testing.assert_array_equal(got[b], want[b],
+                                          err_msg=f"ticks_per_sync={ticks}")
+
+
+@requires_reference
 def test_engine_mid_stream_admission():
     """A request admitted while another is decoding must still match its
     standalone generation."""
