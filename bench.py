@@ -40,7 +40,10 @@ def main():
     dtype = jnp.bfloat16
 
     params = random_talker_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    quant = os.environ.get("BENCH_QUANT", "")
+    # default to the production serving configuration: weight-only int8
+    # (quantize="int8" in the public API); BENCH_QUANT=bf16 for the
+    # unquantized path.
+    quant = os.environ.get("BENCH_QUANT", "int8")
     if quant == "int8":
         from qwen3_tts_tpu.weights import quantize_talker_params
 
