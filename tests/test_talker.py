@@ -260,3 +260,37 @@ def test_sliding_window_talker_parity():
     lens = np.asarray(out.lengths)
     for b in range(2):
         np.testing.assert_array_equal(got[b, :lens[b]], want[b, :lens[b]])
+
+
+@requires_reference
+def test_chunked_generation_matches_while_loop():
+    """generate_frames_chunked (the >1024-frame API path) must reproduce the
+    fused while_loop generation exactly, including odd chunk sizes that don't
+    divide max_new_tokens and per-sample EOS inside a chunk."""
+    import jax
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.generate import (GenerationConfig,
+                                                generate_frames,
+                                                generate_frames_chunked)
+
+    _, _, model = _make_reference_talker()
+    params, cfg = _to_jax(model)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=9,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False))
+    embeds, mask, trailing, pad = _random_inputs(77)
+
+    want = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
+                           jax.random.PRNGKey(0))
+    want_codes, want_lens = np.asarray(want.codes), np.asarray(want.lengths)
+
+    for chunk in (3, 8, 64):
+        got = generate_frames_chunked(params, cfg, gen_cfg, embeds, mask,
+                                      trailing, pad, jax.random.PRNGKey(0),
+                                      chunk=chunk, attend_bucket=4)
+        np.testing.assert_array_equal(np.asarray(got.lengths), want_lens,
+                                      err_msg=f"chunk={chunk}")
+        np.testing.assert_array_equal(np.asarray(got.codes), want_codes,
+                                      err_msg=f"chunk={chunk}")
