@@ -118,6 +118,10 @@ def main():
     M = int(os.environ.get("BENCH_FRAMES", "64"))
 
     params = random_talker_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    if os.environ.get("BENCH_QUANT", "") == "int8":
+        from qwen3_tts_tpu.weights import quantize_talker_params
+
+        params = quantize_talker_params(params)
     dec_cfg = CodecV2DecoderConfig(num_quantizers=cfg.num_code_groups)
     dec_params = fabricate_vocoder(jax.random.PRNGKey(1), dec_cfg, jnp.float32)
 

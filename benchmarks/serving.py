@@ -35,6 +35,11 @@ def main():
     L = 64
 
     params = random_talker_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant == "int8":
+        from qwen3_tts_tpu.weights import quantize_talker_params
+
+        params = quantize_talker_params(params)
     gen_cfg = GenerationConfig(
         max_new_tokens=frames_per_req + 1,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
@@ -78,6 +83,7 @@ def main():
         "requests": len(completions),
         "slots": slots,
         "ticks_per_sync": ticks,
+        "quant": quant or "bf16",
     }))
 
 
