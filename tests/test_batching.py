@@ -158,3 +158,42 @@ def test_engine_mid_stream_admission():
     assert set(got) == {0, 1}
     for b in range(2):
         np.testing.assert_array_equal(got[b], want[b])
+
+
+@requires_reference
+def test_engine_matches_oneshot_int8():
+    """Weight-only int8 params flow through both the fused one-shot loop and
+    the engine's scatter decode path via the same matmul_t, so greedy outputs
+    must agree exactly."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from qwen3_tts_tpu.weights import quantize_talker_params
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    params = quantize_talker_params(params)
+    embeds, mask, trailing, pad = _random_inputs(91)
+
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+    for b in range(2):
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        engine.submit(Request(
+            request_id=b,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+            attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=gen_cfg.max_new_tokens - 1))
+    got = {c.request_id: c.codes for c in engine.run_until_drained()}
+    assert set(got) == {0, 1}
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], want[b])
