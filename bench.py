@@ -1,14 +1,22 @@
-"""Benchmark: batched talker decode real-time factor on one chip.
+"""Driver benchmark: flagship (1.7B, int8) synthesis performance on one chip.
 
-Runs the full flagship-scale (1.7B) generation loop — prefill + per-frame
-talker decode step + nested 15-step sub-talker + sampling — with random
-weights, and reports audio-seconds-generated per wall-second (RTF) at the
-bench batch size.  One frame = 80 ms of audio (12.5 Hz codec,
-configuration...v2.py:148-151).
+Measures all three BASELINE.md targets (random weights — no released
+checkpoints exist in-image; the compute graph is the production one):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is value / 10 — the BASELINE.json target of >=10x realtime
-batched synthesis per v5e chip (the reference publishes no RTF numbers).
+  a) talker_decode_rtf   — batched talker decode loop only (prefill + per-
+     frame talker step + nested 15-step sub-talker + sampling), B=16.
+  b) e2e_rtf (HEADLINE)  — (a) plus the full-size 12Hz vocoder decoding the
+     generated codes to waveform, B=16.  One frame = 80 ms of audio
+     (12.5 Hz codec, configuration...v2.py:148-151).
+  c) first_packet_p50_ms — p50 wall time to the first audio packet of a
+     batch-1 StreamingSession (talker warmup chunk + first vocoder chunk),
+     the README.md:54 "~97 ms" dual-track claim.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Headline `vs_baseline` is e2e_rtf / 10 — the BASELINE.json target of >=10x
+realtime batched synthesis per v5e chip (the reference publishes no RTF
+numbers).  `extra` carries (a) and (c); first_packet vs_baseline is
+100 ms / p50 (>1 = better than target).
 """
 
 import json
@@ -28,10 +36,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(tree):
+    for x in jax.tree_util.tree_leaves(tree):
+        np.asarray(x)  # D2H forces completion; block_until_ready is
+        # unreliable on the axon backend
+
+
 def main():
+    from qwen3_tts_tpu.config import CodecV2DecoderConfig
+    from qwen3_tts_tpu.models.codec12.decoder import decode_frames
     from qwen3_tts_tpu.ops.sampling import SamplingParams
     from qwen3_tts_tpu.runtime.generate import GenerationConfig, generate_frames
-    from qwen3_tts_tpu.utils.testing import TALKER_1B7, random_talker_params
+    from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
+                                                 StreamingSession)
+    from qwen3_tts_tpu.utils.testing import (TALKER_1B7, random_talker_params,
+                                             random_vocoder_params)
+    from qwen3_tts_tpu.weights import quantize_talker_params
 
     cfg = TALKER_1B7
     B = int(os.environ.get("BENCH_BATCH", "16"))
@@ -45,8 +65,6 @@ def main():
     # unquantized path.
     quant = os.environ.get("BENCH_QUANT", "int8")
     if quant == "int8":
-        from qwen3_tts_tpu.weights import quantize_talker_params
-
         params = quantize_talker_params(params)
     gen_cfg = GenerationConfig(
         max_new_tokens=M,
@@ -54,6 +72,8 @@ def main():
                                 repetition_penalty=1.05),
         subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9),
     )
+    dec_cfg = CodecV2DecoderConfig(num_quantizers=cfg.num_code_groups)
+    dec_params = random_vocoder_params(dec_cfg, jax.random.PRNGKey(1))
 
     rng = jax.random.PRNGKey(1)
     embeds = (0.02 * jax.random.normal(rng, (B, L, cfg.hidden_size))).astype(dtype)
@@ -61,29 +81,62 @@ def main():
     trailing = (0.02 * jax.random.normal(rng, (B, 32, cfg.hidden_size))).astype(dtype)
     pad = jnp.zeros((1, 1, cfg.hidden_size), dtype)
 
-    def run(key):
+    def talker_run(key):
         return generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
                                pad, key)
 
-    # warmup / compile (np.asarray forces D2H; on the axon backend
-    # block_until_ready can return before execution completes)
-    np.asarray(run(jax.random.PRNGKey(2)).codes)
+    vocode = jax.jit(lambda p, codes: decode_frames(p, dec_cfg, codes))
 
+    # ---- (a) talker-only decode RTF, B=16 ----
+    _sync(talker_run(jax.random.PRNGKey(2)).codes)  # warmup / compile
     t0 = time.time()
-    out = run(jax.random.PRNGKey(3))
+    out = talker_run(jax.random.PRNGKey(3))
     lengths = np.asarray(out.lengths)
-    np.asarray(out.codes)
-    wall = time.time() - t0
-
+    _sync(out.codes)
+    talker_wall = time.time() - t0
     frames = int(lengths.sum())
-    audio_seconds = frames * 0.08
-    rtf = audio_seconds / wall
+    talker_rtf = frames * 0.08 / talker_wall
+
+    # ---- (b) end-to-end RTF: talker + full-size vocoder, B=16 ----
+    codes_bqt = jnp.swapaxes(out.codes, 1, 2)  # (B, Q, T)
+    _sync(vocode(dec_params, codes_bqt))       # warmup / compile
+    t0 = time.time()
+    out = talker_run(jax.random.PRNGKey(4))
+    lengths = np.asarray(out.lengths)
+    wav = vocode(dec_params, jnp.swapaxes(out.codes, 1, 2))
+    _sync(wav)
+    e2e_wall = time.time() - t0
+    frames = int(lengths.sum())
+    e2e_rtf = frames * 0.08 / e2e_wall
+
+    # ---- (c) p50 first-packet latency, streaming session, B=1 ----
+    Bs, Ls = 1, 48
+    s_embeds = (0.02 * jax.random.normal(rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
+    s_mask = jnp.ones((Bs, Ls), jnp.int32)
+    s_trailing = (0.02 * jax.random.normal(rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
+    session = StreamingSession(params, cfg, gen_cfg, dec_params, dec_cfg,
+                               StreamingConfig())
+    iters = int(os.environ.get("BENCH_FP_ITERS", "3"))
+    latencies = []
+    for i in range(iters + 1):  # iter 0 = compile warmup
+        _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,
+                                      jax.random.PRNGKey(5 + i))
+        if i > 0:
+            latencies.append(first * 1000.0)
+    p50_ms = float(np.median(latencies))
+
     print(json.dumps({
-        "metric": "talker_decode_rtf_1b7_batch%d%s" % (
+        "metric": "e2e_rtf_1b7_batch%d%s" % (
             B, "_int8" if quant == "int8" else ""),
-        "value": round(rtf, 3),
+        "value": round(e2e_rtf, 3),
         "unit": "x_realtime",
-        "vs_baseline": round(rtf / 10.0, 3),
+        "vs_baseline": round(e2e_rtf / 10.0, 3),
+        "extra": {
+            "talker_decode_rtf": round(talker_rtf, 3),
+            "first_packet_p50_ms": round(p50_ms, 1),
+            "first_packet_latencies_ms": [round(x, 1) for x in latencies],
+            "first_packet_vs_baseline": round(100.0 / p50_ms, 3),
+        },
     }))
 
 

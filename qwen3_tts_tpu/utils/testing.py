@@ -11,7 +11,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from ..config import CodePredictorConfig, TalkerConfig
+from ..config import CodecV2DecoderConfig, CodePredictorConfig, TalkerConfig
 
 
 def _init(key, shape, scale=0.02, dtype=jnp.float32):
@@ -80,6 +80,88 @@ def random_talker_params(cfg: TalkerConfig, key: jax.Array,
         cp["proj"] = None
     params["code_predictor"] = cp
     return params
+
+
+def random_vocoder_params(cfg: CodecV2DecoderConfig, key: jax.Array,
+                          dtype=jnp.float32) -> Dict[str, Any]:
+    """Random 12Hz vocoder params in the prepared layout, any config size."""
+    rngs = iter(jax.random.split(key, 400))
+
+    def init(*shape, scale=0.05):
+        return scale * jax.random.normal(next(rngs), shape, jnp.float32).astype(dtype)
+
+    def conv(o, i, k):
+        return {"conv": {"weight": init(o, i, k), "bias": jnp.zeros((o,), dtype)}}
+
+    def tconv(i, o, k):
+        return {"conv": {"weight": init(i, o, k), "bias": jnp.zeros((o,), dtype)}}
+
+    h, lat, dd = cfg.hidden_size, cfg.latent_dim, cfg.decoder_dim
+    layers = {}
+    for li in range(cfg.num_hidden_layers):
+        layers[str(li)] = {
+            "self_attn": {
+                "q_proj": {"weight": init(h, h)},
+                "k_proj": {"weight": init(h, h)},
+                "v_proj": {"weight": init(h, h)},
+                "o_proj": {"weight": init(h, h)},
+            },
+            "mlp": {"gate_proj": {"weight": init(cfg.intermediate_size, h)},
+                    "up_proj": {"weight": init(cfg.intermediate_size, h)},
+                    "down_proj": {"weight": init(h, cfg.intermediate_size)}},
+            "input_layernorm": {"weight": jnp.ones((h,), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((h,), dtype)},
+            "self_attn_layer_scale": {"scale": jnp.full((h,), 0.01, dtype)},
+            "mlp_layer_scale": {"scale": jnp.full((h,), 0.01, dtype)},
+        }
+    upsample = {}
+    for i in range(len(cfg.upsampling_ratios)):
+        upsample[str(i)] = {
+            "0": tconv(lat, lat, cfg.upsampling_ratios[i]),
+            "1": {"dwconv": conv(lat, 1, 7), "norm": {
+                      "weight": jnp.ones((lat,), dtype),
+                      "bias": jnp.zeros((lat,), dtype)},
+                  "pwconv1": {"weight": init(4 * lat, lat),
+                              "bias": jnp.zeros((4 * lat,), dtype)},
+                  "pwconv2": {"weight": init(lat, 4 * lat),
+                              "bias": jnp.zeros((lat,), dtype)},
+                  "gamma": jnp.full((lat,), 1e-6, dtype)},
+        }
+    decoder = {"0": conv(dd, lat, 7)}
+    for i in range(len(cfg.upsample_rates)):
+        ind = dd // (2 ** i)
+        outd = dd // (2 ** (i + 1))
+        block = {"0": {"alpha": jnp.zeros((ind,), dtype),
+                       "beta": jnp.zeros((ind,), dtype)},
+                 "1": tconv(ind, outd, 2 * cfg.upsample_rates[i])}
+        for j, dil in enumerate((1, 3, 9)):
+            block[str(2 + j)] = {
+                "act1": {"alpha": jnp.zeros((outd,), dtype),
+                         "beta": jnp.zeros((outd,), dtype)},
+                "conv1": conv(outd, outd, 7),
+                "act2": {"alpha": jnp.zeros((outd,), dtype),
+                         "beta": jnp.zeros((outd,), dtype)},
+                "conv2": conv(outd, outd, 1),
+            }
+        decoder[str(1 + i)] = {"block": block}
+    outd = dd // (2 ** len(cfg.upsample_rates))
+    decoder[str(1 + len(cfg.upsample_rates))] = {
+        "alpha": jnp.zeros((outd,), dtype), "beta": jnp.zeros((outd,), dtype)}
+    decoder[str(2 + len(cfg.upsample_rates))] = conv(1, outd, 7)
+
+    return {
+        "_codebooks": init(cfg.num_quantizers, cfg.codebook_size,
+                           cfg.codebook_dim, scale=0.02),
+        "pre_conv": conv(lat, cfg.codebook_dim, 3),
+        "pre_transformer": {
+            "input_proj": {"weight": init(h, lat), "bias": jnp.zeros((h,), dtype)},
+            "layers": layers,
+            "norm": {"weight": jnp.ones((h,), dtype)},
+            "output_proj": {"weight": init(lat, h), "bias": jnp.zeros((lat,), dtype)},
+        },
+        "upsample": upsample,
+        "decoder": decoder,
+    }
 
 
 # Architecture presets for the released checkpoints (SURVEY.md §0: Qwen3-style
