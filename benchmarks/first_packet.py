@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qwen3_tts_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main():
     from qwen3_tts_tpu.config import CodecV2DecoderConfig

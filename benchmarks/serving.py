@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qwen3_tts_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main():
     from qwen3_tts_tpu.ops.sampling import SamplingParams
@@ -50,7 +54,8 @@ def main():
     engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=slots,
                                       max_len=L + frames_per_req + 8,
                                       max_trailing=32, dtype=dtype,
-                                      ticks_per_sync=ticks)
+                                      ticks_per_sync=ticks,
+                                      prefill_bucket=L)
 
     rng = jax.random.PRNGKey(1)
 
@@ -65,8 +70,10 @@ def main():
             tts_pad=jnp.zeros((1, 1, cfg.hidden_size), dtype),
             max_frames=frames_per_req)
 
-    # warmup: compile admit + serve_step
-    engine.submit(make_req(10_000))
+    # warmup: compile/fetch staging (full Nb bucket), serve chunks and the
+    # drain-tail tick buckets by running a full slot count end-to-end
+    for i in range(slots):
+        engine.submit(make_req(10_000 + i))
     engine.run_until_drained()
 
     for i in range(n_requests):

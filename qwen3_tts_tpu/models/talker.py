@@ -31,7 +31,7 @@ from ..config import CodePredictorConfig, TalkerConfig
 from ..ops.attention import attention, mask_to_bias
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, default_inv_freq, rope_tables
-from ..weights import matmul_t, numeric_children, stack_layers
+from ..weights import matmul_t, numeric_children, stack_layers, weight_rows
 
 Params = Dict[str, Any]
 
@@ -215,9 +215,7 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
 
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
         mlp = lp["mlp"]
-        inter = mlp["gate_up_proj"]["weight"].shape[-2] // 2 if not isinstance(
-            mlp["gate_up_proj"]["weight"], dict) else \
-            mlp["gate_up_proj"]["weight"]["q"].shape[-2] // 2
+        inter = weight_rows(mlp["gate_up_proj"]["weight"]) // 2
         gu = matmul_t(x, mlp["gate_up_proj"]["weight"])
         gate = jax.nn.silu(gu[..., :inter])
         up = gu[..., inter:]

@@ -1,4 +1,4 @@
-"""Continuous batched serving: slot-based KV cache with per-slot progress.
+"""Continuous batched serving: slot-based KV cache with on-device admission.
 
 The reference has no serving layer (SURVEY.md §1: static left-padded batches,
 Gradio queue concurrency).  This engine is the TPU-native equivalent of a
@@ -6,20 +6,23 @@ mini inference server (SURVEY.md §7 north star):
 
 - a fixed pool of `num_slots` sequences shares one preallocated KV cache;
 - each slot carries its own prefill length, frame counter, rope position,
-  presence set and done flag — all device-resident;
-- `serve_step` advances EVERY active slot one frame in a single jitted
-  program (inactive slots are masked, their compute is wasted but the shapes
-  stay static);
-- admission runs a per-request prefill (bucketed lengths) and scatters the
-  new K/V block + metadata into the slot;
-- the host loop drains finished slots and re-admits queued requests, so
-  throughput tracks the number of concurrently active utterances instead of
-  the slowest member of a static batch.
+  presence set, frame budget, request id and done flag — all device-resident;
+- new requests are *staged* in batches: one jitted prefill over a
+  (N, prefill_bucket) left-padded batch writes KV blocks + first-token state
+  into a staging pool (one program launch per chunk boundary instead of one
+  per request);
+- `serve_chunk` advances EVERY active slot one frame per tick in a single
+  jitted scan; at the top of each tick, staged requests are *installed* into
+  free slots on device (a cheap KV block copy under `lax.cond`), so slots
+  refill the moment a sequence finishes instead of idling until the next
+  host sync;
+- the host loop only attributes emitted frames to request ids and collects
+  completions — admission no longer serializes on the host.
 """
 
 from __future__ import annotations
 
-import queue
+from collections import deque
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
@@ -30,39 +33,59 @@ import numpy as np
 
 from ..config import TalkerConfig
 from ..models.talker import (KVCache, StackDims, code_predictor_frame,
-                             decoder_stack)
-from ..ops.attention import mask_to_bias
-from ..ops.rope import default_inv_freq, rope_tables
-from ..weights import matmul_t
+                             talker_prefill)
+from ..ops.attention import attention, mask_to_bias
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, default_inv_freq, rope_tables
 from ..ops.sampling import process_and_sample
+from ..weights import matmul_t, weight_rows
 from .generate import GenerationConfig, suppress_mask_for
 
 Params = Dict[str, Any]
 
 
 class SlotState(NamedTuple):
+    # ---- live slots ----
     cache: KVCache            # (L, B, S, Hkv, D)
     kv_valid: jax.Array       # (B, S) bool — attendable slots
     active: jax.Array         # (B,) bool — slot holds a live request
     code0: jax.Array          # (B,) pending codebook-0 token
     last_hidden: jax.Array    # (B, 1, H)
     presence: jax.Array       # (B, V) bool
-    done: jax.Array           # (B,) — reached EOS (slot still occupied)
+    done: jax.Array           # (B,) — reached EOS / frame budget
     t: jax.Array              # (B,) frames generated
-    prefill_len: jax.Array    # (B,)
+    prefill_len: jax.Array    # (B,) padded prefill length (= bucket)
     seq_lens: jax.Array       # (B,) real (unpadded) prefill length
     trailing: jax.Array       # (B, Tt, H)
     trailing_len: jax.Array   # (B,)
     tts_pad: jax.Array        # (1, 1, H)
+    max_frames: jax.Array     # (B,) per-slot frame budget
+    req_id: jax.Array         # (B,) request id (-1 = none)
+    # ---- staging pool (prefilled requests awaiting a free slot) ----
+    staged_k: jax.Array           # (L, K, Lp, Hkv, D)
+    staged_v: jax.Array           # (L, K, Lp, Hkv, D)
+    staged_kv_valid: jax.Array    # (K, Lp) bool
+    staged_code0: jax.Array       # (K,)
+    staged_hidden: jax.Array      # (K, H)
+    staged_seq_len: jax.Array     # (K,)
+    staged_trailing: jax.Array    # (K, Tt, H)
+    staged_trailing_len: jax.Array  # (K,)
+    staged_max_frames: jax.Array  # (K,)
+    staged_req_id: jax.Array      # (K,)
+    staged_valid: jax.Array       # (K,) bool
 
 
 def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
-                    max_trailing: int, dtype=jnp.bfloat16) -> SlotState:
+                    max_trailing: int, dtype=jnp.bfloat16,
+                    prefill_bucket: int = 128,
+                    staging_rows: Optional[int] = None) -> SlotState:
     dims = StackDims.from_talker(cfg)
     B, S, H = num_slots, max_len, cfg.hidden_size
+    K = staging_rows or num_slots
+    L, Lp = cfg.num_hidden_layers, prefill_bucket
     return SlotState(
-        cache=KVCache.zeros(cfg.num_hidden_layers, B, S, dims.kv_heads,
-                            dims.head_dim, dtype=dtype),
+        cache=KVCache.zeros(L, B, S, dims.kv_heads, dims.head_dim,
+                            dtype=dtype),
         kv_valid=jnp.zeros((B, S), bool),
         active=jnp.zeros((B,), bool),
         code0=jnp.zeros((B,), jnp.int32),
@@ -75,64 +98,143 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         trailing=jnp.zeros((B, max_trailing, H), dtype),
         trailing_len=jnp.zeros((B,), jnp.int32),
         tts_pad=jnp.zeros((1, 1, H), dtype),
+        max_frames=jnp.zeros((B,), jnp.int32),
+        req_id=jnp.full((B,), -1, jnp.int32),
+        staged_k=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), dtype),
+        staged_v=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), dtype),
+        staged_kv_valid=jnp.zeros((K, Lp), bool),
+        staged_code0=jnp.zeros((K,), jnp.int32),
+        staged_hidden=jnp.zeros((K, H), dtype),
+        staged_seq_len=jnp.zeros((K,), jnp.int32),
+        staged_trailing=jnp.zeros((K, max_trailing, H), dtype),
+        staged_trailing_len=jnp.zeros((K,), jnp.int32),
+        staged_max_frames=jnp.zeros((K,), jnp.int32),
+        staged_req_id=jnp.full((K,), -1, jnp.int32),
+        staged_valid=jnp.zeros((K,), bool),
     )
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg"), donate_argnums=(2,))
-def admit_request(params: Params, cfg: TalkerConfig, state: SlotState,
-                  gen_cfg: GenerationConfig, slot: jax.Array,
-                  inputs_embeds: jax.Array, attn_mask: jax.Array,
-                  trailing: jax.Array, trailing_len: jax.Array,
-                  tts_pad: jax.Array, key: jax.Array) -> SlotState:
-    """Prefill one request (batch 1) and install it into `slot`."""
-    from ..models.talker import talker_prefill
+def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
+                   gen_cfg: GenerationConfig, embeds_rows, mask_rows,
+                   trailing_rows, meta: jax.Array, tts_pad: jax.Array,
+                   key: jax.Array) -> SlotState:
+    """Prefill a batch of N staged requests and write them into staging pool
+    rows (meta[:, 3]; entries with meta[:, 4] == 0 are padding and ignored).
 
-    T = inputs_embeds.shape[1]
-    S = state.cache.k.shape[2]
+    `embeds_rows`/`mask_rows`/`trailing_rows` are tuples of N device-resident
+    pre-padded rows ((Lp, H), (Lp,), (Tt, H)) — requests never round-trip
+    through the host (H2D costs ~30 ms latency + ~8 MB/s on remote-tunnel
+    backends), and `meta` (N, 5) int32 [req_id, max_frames, trailing_len,
+    row, valid] is the single small host upload per staging call.
+
+    One program per N-bucket replaces the former one-prefill-per-request
+    admission path; installation into live slots happens inside
+    `serve_chunk`'s ticks.
+    """
+    inputs_embeds = jnp.stack(embeds_rows)
+    attn_mask = jnp.stack(mask_rows)
+    trailing = jnp.stack(trailing_rows)
+    req_ids = meta[:, 0]
+    max_frames = meta[:, 1]
+    trailing_len = meta[:, 2]
+    rows = meta[:, 3]
+    row_valid = meta[:, 4].astype(bool)
+    N, Lp, H = inputs_embeds.shape
     dims = StackDims.from_talker(cfg)
-    tmp = KVCache.zeros(cfg.num_hidden_layers, 1, T, dims.kv_heads,
-                        dims.head_dim, dtype=inputs_embeds.dtype)
+    K = state.staged_valid.shape[0]
+
+    tmp = KVCache.zeros(cfg.num_hidden_layers, N, Lp, dims.kv_heads,
+                        dims.head_dim, dtype=state.cache.k.dtype)
     logits, hidden_seq, tmp = talker_prefill(params, cfg, inputs_embeds,
                                              attn_mask, tmp)
     key, sub = jax.random.split(key)
-    presence0 = jnp.zeros((cfg.vocab_size,), bool)
+    ban = jnp.full((N,), 0 < gen_cfg.min_new_tokens)
     code0 = process_and_sample(
-        logits, sub, gen_cfg.sampling, presence=presence0[None],
+        logits, sub, gen_cfg.sampling,
+        presence=jnp.zeros((N, cfg.vocab_size), bool),
         suppress_mask=suppress_mask_for(cfg),
-        ban_eos=jnp.array([True]), eos_id=cfg.codec_eos_token_id)[0]
+        ban_eos=ban, eos_id=cfg.codec_eos_token_id)
 
-    k_new = jax.lax.dynamic_update_slice(
-        state.cache.k, tmp.k.astype(state.cache.k.dtype)[:, :1],
-        (0, slot, 0, 0, 0))
-    v_new = jax.lax.dynamic_update_slice(
-        state.cache.v, tmp.v.astype(state.cache.v.dtype)[:, :1],
-        (0, slot, 0, 0, 0))
+    # order-safe scatter N -> K: per pool row, pick the (unique) source entry
+    onehot = row_valid[:, None] & (rows[:, None] == jnp.arange(K)[None, :])
+    hit = onehot.any(axis=0)                     # (K,)
+    src = jnp.argmax(onehot, axis=0)             # (K,) source index per row
 
-    kv_valid_row = jnp.zeros((S,), bool)
-    kv_valid_row = jax.lax.dynamic_update_slice(
-        kv_valid_row, attn_mask[0].astype(bool), (0,))
-    Tt = state.trailing.shape[1]
-    trail_row = jnp.zeros((Tt, state.trailing.shape[2]), state.trailing.dtype)
-    trail_row = jax.lax.dynamic_update_slice(
-        trail_row, trailing[0].astype(state.trailing.dtype), (0, 0))
+    def merge(pool, new, batch_axis):
+        """pool: (..., K, ...); new: (..., N, ...) gathered by src."""
+        gathered = jnp.take(new, src, axis=batch_axis)
+        shape = [1] * pool.ndim
+        shape[batch_axis] = hit.shape[0]
+        return jnp.where(hit.reshape(shape), gathered.astype(pool.dtype), pool)
+
+    trail = trailing.astype(state.staged_trailing.dtype)
 
     return state._replace(
-        cache=KVCache(k_new, v_new),
-        kv_valid=state.kv_valid.at[slot].set(kv_valid_row),
-        active=state.active.at[slot].set(True),
-        code0=state.code0.at[slot].set(code0),
-        last_hidden=state.last_hidden.at[slot].set(
-            hidden_seq[:, -1:, :][0].astype(state.last_hidden.dtype)),
-        presence=state.presence.at[slot].set(False),
-        done=state.done.at[slot].set(False),
-        t=state.t.at[slot].set(0),
-        prefill_len=state.prefill_len.at[slot].set(T),
-        seq_lens=state.seq_lens.at[slot].set(
-            jnp.sum(attn_mask[0]).astype(jnp.int32)),
-        trailing=state.trailing.at[slot].set(trail_row),
-        trailing_len=state.trailing_len.at[slot].set(trailing_len),
+        staged_k=merge(state.staged_k, tmp.k, 1),
+        staged_v=merge(state.staged_v, tmp.v, 1),
+        staged_kv_valid=merge(state.staged_kv_valid, attn_mask.astype(bool), 0),
+        staged_code0=merge(state.staged_code0, code0.astype(jnp.int32), 0),
+        staged_hidden=merge(state.staged_hidden, hidden_seq[:, -1, :], 0),
+        staged_seq_len=merge(state.staged_seq_len,
+                             jnp.sum(attn_mask, axis=-1).astype(jnp.int32), 0),
+        staged_trailing=merge(state.staged_trailing, trail, 0),
+        staged_trailing_len=merge(state.staged_trailing_len,
+                                  trailing_len.astype(jnp.int32), 0),
+        staged_max_frames=merge(state.staged_max_frames,
+                                max_frames.astype(jnp.int32), 0),
+        staged_req_id=merge(state.staged_req_id, req_ids.astype(jnp.int32), 0),
+        staged_valid=jnp.where(hit, True, state.staged_valid),
         tts_pad=jnp.asarray(tts_pad, state.tts_pad.dtype),
     )
+
+
+def _install_one(state: SlotState) -> SlotState:
+    """Move one staged request into the first free slot (device-side
+    admission). No-op (via lax.cond) when no slot is free or nothing is
+    staged."""
+    free = ~state.active
+    can = jnp.any(free) & jnp.any(state.staged_valid)
+
+    def do(st: SlotState) -> SlotState:
+        slot = jnp.argmax(~st.active).astype(jnp.int32)
+        ridx = jnp.argmax(st.staged_valid).astype(jnp.int32)
+        L, K, Lp, Hkv, D = st.staged_k.shape
+        S = st.cache.k.shape[2]
+
+        kblk = jax.lax.dynamic_slice(st.staged_k, (0, ridx, 0, 0, 0),
+                                     (L, 1, Lp, Hkv, D))
+        vblk = jax.lax.dynamic_slice(st.staged_v, (0, ridx, 0, 0, 0),
+                                     (L, 1, Lp, Hkv, D))
+        k_new = jax.lax.dynamic_update_slice(st.cache.k, kblk,
+                                             (0, slot, 0, 0, 0))
+        v_new = jax.lax.dynamic_update_slice(st.cache.v, vblk,
+                                             (0, slot, 0, 0, 0))
+        kv_row = jnp.zeros((S,), bool)
+        kv_row = jax.lax.dynamic_update_slice(
+            kv_row, st.staged_kv_valid[ridx], (0,))
+
+        return st._replace(
+            cache=KVCache(k_new, v_new),
+            kv_valid=st.kv_valid.at[slot].set(kv_row),
+            active=st.active.at[slot].set(True),
+            code0=st.code0.at[slot].set(st.staged_code0[ridx]),
+            last_hidden=st.last_hidden.at[slot].set(
+                st.staged_hidden[ridx][None, :].astype(st.last_hidden.dtype)),
+            presence=st.presence.at[slot].set(False),
+            done=st.done.at[slot].set(False),
+            t=st.t.at[slot].set(0),
+            prefill_len=st.prefill_len.at[slot].set(Lp),
+            seq_lens=st.seq_lens.at[slot].set(st.staged_seq_len[ridx]),
+            trailing=st.trailing.at[slot].set(st.staged_trailing[ridx]),
+            trailing_len=st.trailing_len.at[slot].set(
+                st.staged_trailing_len[ridx]),
+            max_frames=st.max_frames.at[slot].set(st.staged_max_frames[ridx]),
+            req_id=st.req_id.at[slot].set(st.staged_req_id[ridx]),
+            staged_valid=st.staged_valid.at[ridx].set(False),
+        )
+
+    return jax.lax.cond(can, do, lambda st: st, state)
 
 
 def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
@@ -141,9 +243,6 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
                            attend_len: Optional[int] = None
                            ) -> Tuple[jax.Array, KVCache]:
     """decoder_stack variant for T=1 with a *per-slot* write index."""
-    from ..ops.norms import rms_norm
-    from ..ops.rope import apply_rope
-
     B = h.shape[0]
     rows = jnp.arange(B)
     nq = dims.heads * dims.head_dim
@@ -167,8 +266,6 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         kfull = kfull.at[idx, rows, slot_index].set(k[:, 0].astype(kfull.dtype))
         vfull = vfull.at[idx, rows, slot_index].set(v[:, 0].astype(vfull.dtype))
 
-        from ..ops.attention import attention
-
         k_att = jax.lax.dynamic_slice(
             kfull, (idx, 0, 0, 0, 0),
             (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
@@ -180,9 +277,8 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         hh = hh + o
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
         mlp = lp["mlp"]
-        w_gu = mlp["gate_up_proj"]["weight"]
-        inter = (w_gu["q"] if isinstance(w_gu, dict) else w_gu).shape[-2] // 2
-        gu = matmul_t(x, w_gu)
+        inter = weight_rows(mlp["gate_up_proj"]["weight"]) // 2
+        gu = matmul_t(x, mlp["gate_up_proj"]["weight"])
         hh = hh + matmul_t(jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
                            mlp["down_proj"]["weight"])
         return (hh, kfull, vfull), None
@@ -195,17 +291,23 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
 
 
 def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
-               gen_cfg: GenerationConfig, key: jax.Array,
-               attend_len: Optional[int] = None
-               ) -> Tuple[SlotState, jax.Array, jax.Array]:
-    """Advance every slot one frame.
+                     gen_cfg: GenerationConfig, key: jax.Array,
+                     attend_len: Optional[int] = None,
+                     installs_per_tick: int = 1
+                     ) -> Tuple[SlotState, jax.Array, jax.Array, jax.Array,
+                                jax.Array]:
+    """Advance every slot one frame, after installing up to
+    `installs_per_tick` staged requests into free slots.
 
     `attend_len` is a static host-chosen bucket bounding the attended KV
     window (covers the longest live slot).
 
-    Returns (state, frames (B, Q), emitted (B,) bool — frame rows valid for
-    slots that were active and not done).
+    Returns (state, frames (B, Q), emit (B,) bool, req_id (B,), finished (B,)
+    bool — slots that consumed their final tick this step).
     """
+    for _ in range(installs_per_tick):
+        state = _install_one(state)
+
     eos = cfg.codec_eos_token_id
     B = state.code0.shape[0]
     S = state.cache.k.shape[2] if attend_len is None else attend_len
@@ -213,7 +315,7 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
     dtype = state.last_hidden.dtype
     suppress = suppress_mask_for(cfg)
 
-    now_done = state.done | (state.code0 == eos)
+    now_done = state.done | (state.code0 == eos) | (state.t >= state.max_frames)
     emit = state.active & ~now_done
     presence = state.presence.at[jnp.arange(B), state.code0].set(
         state.presence[jnp.arange(B), state.code0] | emit)
@@ -251,40 +353,86 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
     next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
                                     presence=presence, suppress_mask=suppress,
                                     ban_eos=ban, eos_id=eos)
+    req_id = state.req_id
+    # finish detection at sampling time: a sampled EOS or an exhausted frame
+    # budget means no further frames will ever be emitted, so the slot frees
+    # THIS tick (no dead "notice EOS" tick, and installs reuse it a tick
+    # earlier). The emitted-frame semantics are unchanged — the EOS frame
+    # itself is never output (reference 2283-2291).
+    t_new = state.t + emit.astype(jnp.int32)
+    code0_new = jnp.where(emit, next_code0, state.code0)
+    done_next = now_done | (code0_new == eos) | (t_new >= state.max_frames)
+    finished = state.active & done_next
     state = state._replace(
         cache=cache,
-        code0=jnp.where(emit, next_code0, state.code0),
+        code0=code0_new,
         last_hidden=jnp.where(emit[:, None, None], h, state.last_hidden),
         presence=presence,
-        done=now_done,
-        t=state.t + emit.astype(jnp.int32),
+        done=done_next,
+        t=t_new,
+        active=state.active & ~done_next,   # finished slots free immediately
     )
-    return state, frames, emit
+    return state, frames, emit, req_id, finished
 
 
-serve_step = partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len"),
+serve_step = partial(jax.jit,
+                     static_argnames=("cfg", "gen_cfg", "attend_len",
+                                      "installs_per_tick"),
                      donate_argnums=(2,))(_serve_step_core)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len", "ticks"),
+def unpack_chunk_aux(aux: np.ndarray, num_slots: int, ticks: int, Q: int,
+                     staging_rows: int):
+    """Inverse of serve_chunk's packed aux: -> (frames (B,ticks,Q),
+    emit (B,ticks), req_id (B,ticks), finished (B,ticks), staged_valid (K,),
+    t (B,))."""
+    B, K = num_slots, staging_rows
+    n_bt = B * ticks
+    off = 0
+    frames = aux[off:off + n_bt * Q].reshape(B, ticks, Q); off += n_bt * Q
+    emit = aux[off:off + n_bt].reshape(B, ticks).astype(bool); off += n_bt
+    req_id = aux[off:off + n_bt].reshape(B, ticks); off += n_bt
+    finished = aux[off:off + n_bt].reshape(B, ticks).astype(bool); off += n_bt
+    staged_valid = aux[off:off + K].astype(bool); off += K
+    t = aux[off:off + B]
+    return frames, emit, req_id, finished, staged_valid, t
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len", "ticks",
+                                   "installs_per_tick"),
          donate_argnums=(2,))
 def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
                 gen_cfg: GenerationConfig, key: jax.Array, ticks: int,
-                attend_len: Optional[int] = None
-                ) -> Tuple[SlotState, jax.Array, jax.Array]:
+                attend_len: Optional[int] = None,
+                installs_per_tick: int = 1
+                ) -> Tuple[SlotState, jax.Array]:
     """Advance every slot `ticks` frames in one device program (the host
-    syncs once per chunk instead of once per frame).
+    syncs once per chunk instead of once per frame); staged requests are
+    installed into freed slots at tick granularity, so a finishing sequence's
+    slot is re-used within the same chunk.
 
-    Returns (state, frames (B, ticks, Q), emit (B, ticks))."""
+    Returns (state, aux) where aux is ONE flat int32 array packing
+    (frames, emit, req_id, finished, staged_valid, t) — a single
+    device-to-host transfer per chunk (round trips dominate host cost on
+    remote-tunnel backends); decode with `unpack_chunk_aux`."""
     keys = jax.random.split(key, ticks)
 
     def body(state, k):
-        state, frames, emit = _serve_step_core(params, cfg, state, gen_cfg,
-                                               k, attend_len)
-        return state, (frames, emit)
+        state, frames, emit, req_id, finished = _serve_step_core(
+            params, cfg, state, gen_cfg, k, attend_len, installs_per_tick)
+        return state, (frames, emit, req_id, finished)
 
-    state, (frames, emit) = jax.lax.scan(body, state, keys)
-    return state, jnp.swapaxes(frames, 0, 1), jnp.swapaxes(emit, 0, 1)
+    state, (frames, emit, req_id, finished) = jax.lax.scan(body, state, keys)
+    swap = lambda x: jnp.swapaxes(x, 0, 1)  # (ticks, B, ...) -> (B, ticks, ...)
+    aux = jnp.concatenate([
+        swap(frames).reshape(-1).astype(jnp.int32),
+        swap(emit).reshape(-1).astype(jnp.int32),
+        swap(req_id).reshape(-1).astype(jnp.int32),
+        swap(finished).reshape(-1).astype(jnp.int32),
+        state.staged_valid.astype(jnp.int32),
+        state.t.astype(jnp.int32),
+    ])
+    return state, aux
 
 
 @dataclass
@@ -305,92 +453,179 @@ class Completion:
 
 
 class ContinuousBatchingEngine:
-    """Host scheduler around serve_step/admit_request."""
+    """Host scheduler around stage_requests/serve_chunk.
+
+    The host's only jobs are batching new requests into staging calls and
+    attributing emitted frames to request ids; admission itself (prefill +
+    slot install) is on-device.
+    """
 
     def __init__(self, params: Params, cfg: TalkerConfig,
                  gen_cfg: GenerationConfig, num_slots: int = 8,
                  max_len: int = 3072, max_trailing: int = 512,
                  dtype=jnp.bfloat16, seed: int = 0,
-                 ticks_per_sync: int = 8):
+                 ticks_per_sync: int = 8,
+                 prefill_bucket: Optional[int] = None,
+                 installs_per_tick: int = 4):
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
-        self.state = init_slot_state(cfg, num_slots, max_len, max_trailing,
-                                     dtype)
         self.num_slots = num_slots
+        self.max_trailing = max_trailing
+        self.dtype = dtype
+        self.prefill_bucket = int(prefill_bucket if prefill_bucket is not None
+                                  else max(8, min(128, max_len // 2)))
+        if self.prefill_bucket >= max_len:
+            raise ValueError(
+                f"prefill_bucket {self.prefill_bucket} must be < max_len {max_len}")
+        self.state = init_slot_state(cfg, num_slots, max_len, max_trailing,
+                                     dtype, prefill_bucket=self.prefill_bucket)
         self.key = jax.random.PRNGKey(seed)
         self.ticks_per_sync = ticks_per_sync
-        self.slot_req: List[Optional[Request]] = [None] * num_slots
-        self.slot_frames: List[List[np.ndarray]] = [[] for _ in range(num_slots)]
-        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self.installs_per_tick = installs_per_tick
+        self.pending: deque = deque()
+        self.frames_acc: Dict[int, List[np.ndarray]] = {}
+        self.req_max_frames: Dict[int, int] = {}
+        self.staged_rows_busy: set = set()
+        self.max_live_t = 0   # host mirror of max device t (exact per chunk)
+        self._pad_cache: Dict[Tuple[int, int], Any] = {}
+        self._zero_rows = None   # device-resident padding entry for N-buckets
+        self._tts_pad_dev = None
+
+    def _pad_fn(self, T: int, Tt_in: int):
+        """Jitted per-(T, Tt_in) request padding — runs on device so request
+        tensors never round-trip through the host."""
+        fn = self._pad_cache.get((T, Tt_in))
+        if fn is None:
+            Lp, Tt, dtype = self.prefill_bucket, self.max_trailing, self.dtype
+
+            @jax.jit
+            def fn(embeds, mask, trailing):
+                e = jnp.zeros((Lp, embeds.shape[2]), dtype)
+                e = e.at[Lp - T:].set(embeds[0].astype(dtype))
+                m = jnp.zeros((Lp,), jnp.int32)
+                m = m.at[Lp - T:].set(mask[0].astype(jnp.int32))
+                tr = jnp.zeros((Tt, trailing.shape[2]), dtype)
+                tl = min(Tt_in, Tt)
+                tr = tr.at[:tl].set(trailing[0, :tl].astype(dtype))
+                return e, m, tr
+
+            self._pad_cache[(T, Tt_in)] = fn
+        return fn
 
     def submit(self, req: Request) -> None:
-        self.pending.put(req)
+        T = req.inputs_embeds.shape[1]
+        if T > self.prefill_bucket:
+            raise ValueError(
+                f"prompt length {T} exceeds engine prefill_bucket "
+                f"{self.prefill_bucket}")
+        e, m, tr = self._pad_fn(T, req.trailing.shape[1])(
+            req.inputs_embeds, req.attn_mask, req.trailing)
+        if self._tts_pad_dev is None:
+            self._tts_pad_dev = jnp.asarray(req.tts_pad, self.dtype)
+        self.pending.append((req.request_id, e, m, tr,
+                             min(req.trailing_len, self.max_trailing),
+                             req.max_frames))
 
-    def _try_admit(self) -> None:
-        for slot in range(self.num_slots):
-            if self.slot_req[slot] is not None:
-                continue
-            try:
-                req = self.pending.get_nowait()
-            except queue.Empty:
-                return
-            T = req.inputs_embeds.shape[1]
-            S = self.state.cache.k.shape[2]
-            if T >= S:
-                raise ValueError(
-                    f"prompt length {T} exceeds engine max_len {S}")
-            # bound generation by the remaining cache capacity
-            req.max_frames = min(req.max_frames, S - T - 1)
-            self.key, sub = jax.random.split(self.key)
-            self.state = admit_request(
-                self.params, self.cfg, self.state, self.gen_cfg,
-                jnp.int32(slot), req.inputs_embeds, req.attn_mask,
-                req.trailing, jnp.int32(req.trailing_len), req.tts_pad, sub)
-            self.slot_req[slot] = req
-            self.slot_frames[slot] = []
+    def _stage_pending(self) -> None:
+        free_rows = [k for k in range(self.num_slots)
+                     if k not in self.staged_rows_busy]
+        n = min(len(self.pending), len(free_rows))
+        if n == 0:
+            return
+        Nb = 1 << (n - 1).bit_length()   # pow2 bucket => few compiled shapes
+        S = self.state.cache.k.shape[2]
+        if self._zero_rows is None:
+            Lp, H, Tt = (self.prefill_bucket, self.cfg.hidden_size,
+                         self.max_trailing)
+            self._zero_rows = (jnp.zeros((Lp, H), self.dtype),
+                               jnp.zeros((Lp,), jnp.int32),
+                               jnp.zeros((Tt, H), self.dtype))
+        embeds_rows, mask_rows, trailing_rows = [], [], []
+        meta = np.zeros((Nb, 5), np.int32)
+        for i in range(Nb):
+            if i < n:
+                rid, e, m, tr, tlen, mf = self.pending.popleft()
+                mf = min(mf, S - self.prefill_bucket - 1)
+                meta[i] = (rid, mf, tlen, free_rows[i], 1)
+                self.frames_acc[rid] = []
+                self.req_max_frames[rid] = mf
+                self.staged_rows_busy.add(free_rows[i])
+            else:
+                e, m, tr = self._zero_rows
+                meta[i] = (-1, 0, 0, 0, 0)
+            embeds_rows.append(e)
+            mask_rows.append(m)
+            trailing_rows.append(tr)
+        self.key, sub = jax.random.split(self.key)
+        self.state = stage_requests(
+            self.params, self.cfg, self.state, self.gen_cfg,
+            tuple(embeds_rows), tuple(mask_rows), tuple(trailing_rows),
+            jnp.asarray(meta), self._tts_pad_dev, sub)
+
+    def _next_ticks(self) -> int:
+        """Chunk length: full `ticks_per_sync` under queue pressure; once the
+        queue is drained, a pow2 bucket just covering the longest remaining
+        request, so the tail doesn't burn empty ticks."""
+        ticks = self.ticks_per_sync
+        if self.pending:
+            return ticks
+        remaining = 0
+        for rid, acc in self.frames_acc.items():
+            remaining = max(remaining,
+                            self.req_max_frames.get(rid, ticks) - len(acc))
+        need = remaining + 2   # + finish tick + install slack
+        if need >= ticks:
+            return ticks
+        return 1 << max(0, (need - 1)).bit_length()
 
     def step(self) -> List[Completion]:
-        """One engine tick: admit, advance all slots `ticks_per_sync` frames
-        on device, then drain finished slots (one host sync per chunk)."""
-        self._try_admit()
-        if not any(r is not None for r in self.slot_req):
+        """One engine tick: stage pending requests (batched), advance all
+        slots on device for one chunk (installing staged requests into freed
+        slots mid-chunk), then collect finished requests.
+
+        Exactly ONE device-to-host transfer per chunk (the packed aux) —
+        liveness, staging-row occupancy and the attention bucket are all
+        tracked host-side, because each round trip costs ~100 ms on
+        remote-tunnel backends."""
+        self._stage_pending()
+        if not self.frames_acc:
             return []
         self.key, sub = jax.random.split(self.key)
         # static attention bucket covering the furthest live slot by chunk end
         S = self.state.cache.k.shape[2]
-        ticks = self.ticks_per_sync
-        max_idx = int(np.asarray(self.state.prefill_len + self.state.t).max())
+        ticks = self._next_ticks()
+        max_idx = self.prefill_bucket + self.max_live_t
         attend = min(S, ((max_idx + ticks + 1 + 255) // 256) * 256)
-        self.state, frames, emit = serve_chunk(self.params, self.cfg,
-                                               self.state, self.gen_cfg, sub,
-                                               ticks, attend_len=attend)
-        frames = np.asarray(frames)   # (B, ticks, Q)
-        emit = np.asarray(emit)       # (B, ticks)
-        done = np.asarray(self.state.done)
+        self.state, aux = serve_chunk(
+            self.params, self.cfg, self.state, self.gen_cfg, sub, ticks,
+            attend_len=attend, installs_per_tick=self.installs_per_tick)
+        frames, emit, req_id, finished, staged_valid, t_dev = unpack_chunk_aux(
+            np.asarray(aux), self.num_slots, ticks,
+            self.cfg.num_code_groups, self.state.staged_valid.shape[0])
         completions: List[Completion] = []
-        for slot, req in enumerate(self.slot_req):
-            if req is None:
-                continue
-            for t in range(ticks):
-                if emit[slot, t] and len(self.slot_frames[slot]) < req.max_frames:
-                    self.slot_frames[slot].append(frames[slot, t])
-            finished = done[slot] or len(self.slot_frames[slot]) >= req.max_frames
-            if finished:
-                codes = (np.stack(self.slot_frames[slot])
-                         if self.slot_frames[slot]
+        order = np.argwhere(emit | finished)
+        # attribute in tick order so multi-request slot reuse stays coherent
+        for slot, t in sorted(order.tolist(), key=lambda st: (st[1], st[0])):
+            rid = int(req_id[slot, t])
+            if emit[slot, t]:
+                self.frames_acc[rid].append(frames[slot, t])
+            if finished[slot, t]:
+                acc = self.frames_acc.pop(rid, [])
+                self.req_max_frames.pop(rid, None)
+                codes = (np.stack(acc) if acc
                          else np.zeros((0, self.cfg.num_code_groups), np.int64))
-                completions.append(Completion(req.request_id, codes))
-                self.slot_req[slot] = None
-                self.slot_frames[slot] = []
-                self.state = self.state._replace(
-                    active=self.state.active.at[slot].set(False))
+                completions.append(Completion(rid, codes))
+        # reclaim staging rows whose request was installed during the chunk
+        self.staged_rows_busy = {k for k in self.staged_rows_busy
+                                 if staged_valid[k]}
+        self.max_live_t = int(t_dev.max()) if self.frames_acc else 0
         return completions
 
     def run_until_drained(self, max_ticks: int = 100000) -> List[Completion]:
         out: List[Completion] = []
         for _ in range(max_ticks):
             out.extend(self.step())
-            if self.pending.empty() and all(r is None for r in self.slot_req):
+            if not self.pending and not self.frames_acc:
                 break
         return out

@@ -264,6 +264,11 @@ def matmul_t(x, w):
     return x @ w.T.astype(x.dtype)
 
 
+def weight_rows(w) -> int:
+    """Output-row count of a matmul_t weight (raw array or int8 dict)."""
+    return (w["q"] if isinstance(w, dict) else w).shape[-2]
+
+
 def cast_floats(tree, dtype):
     """Cast all floating leaves of a pytree to dtype."""
     def _cast(x):
