@@ -35,6 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from qwen3_tts_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def _sync(tree):
     for x in jax.tree_util.tree_leaves(tree):
@@ -66,11 +70,13 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "int8")
     if quant == "int8":
         params = quantize_talker_params(params)
+    fused = os.environ.get("BENCH_FUSED", "1" if quant == "int8" else "0") == "1"
     gen_cfg = GenerationConfig(
         max_new_tokens=M,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
                                 repetition_penalty=1.05),
         subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9),
+        fused_subtalker=fused,
     )
     dec_cfg = CodecV2DecoderConfig(num_quantizers=cfg.num_code_groups)
     dec_params = random_vocoder_params(dec_cfg, jax.random.PRNGKey(1))

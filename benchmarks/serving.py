@@ -44,11 +44,13 @@ def main():
         from qwen3_tts_tpu.weights import quantize_talker_params
 
         params = quantize_talker_params(params)
+    fused = os.environ.get("BENCH_FUSED", "1" if quant == "int8" else "0") == "1"
     gen_cfg = GenerationConfig(
         max_new_tokens=frames_per_req + 1,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
                                 repetition_penalty=1.05),
-        subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9))
+        subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9),
+        fused_subtalker=fused)
 
     ticks = int(os.environ.get("BENCH_TICKS", "8"))
     engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=slots,

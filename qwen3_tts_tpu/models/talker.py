@@ -330,6 +330,29 @@ def _cp_project(cp: Params, x: jax.Array) -> jax.Array:
     return x @ proj["weight"].T.astype(x.dtype) + proj["bias"].astype(x.dtype)
 
 
+def code_predictor_frame_dispatch(params: Params, cfg: TalkerConfig,
+                                  past_hidden: jax.Array,
+                                  code0_embed: jax.Array, key: jax.Array,
+                                  sampling, fused: bool = False
+                                  ) -> Tuple[jax.Array, jax.Array]:
+    """Route one sub-talker frame to the XLA scan or the fused Pallas
+    megakernel (ops/pallas/subtalker.py — weights VMEM-resident, W8A8).
+
+    The fused path needs int8 params and a jit wrapped with
+    `runtime.jit_options.DECODE_COMPILER_OPTIONS` (the kernel keeps ~94 MB
+    of weights in VMEM, above XLA's default scoped-vmem limit)."""
+    if not fused:
+        return code_predictor_frame(params, cfg, past_hidden, code0_embed,
+                                    key, sampling)
+    from ..ops.pallas.subtalker import subtalker_frame_fused
+
+    interpret = jax.devices()[0].platform != "tpu"
+    return subtalker_frame_fused(params["code_predictor"],
+                                 cfg.code_predictor_config, past_hidden,
+                                 code0_embed, key, sampling,
+                                 interpret=interpret)
+
+
 def code_predictor_frame(params: Params, cfg: TalkerConfig,
                          past_hidden: jax.Array, code0_embed: jax.Array,
                          key: jax.Array, sampling) -> Tuple[jax.Array, jax.Array]:

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TalkerConfig
-from ..models.talker import (KVCache, StackDims, code_predictor_frame,
+from ..models.talker import (KVCache, StackDims, code_predictor_frame_dispatch,
                              talker_prefill)
 from ..ops.attention import attention, mask_to_bias
 from ..ops.norms import rms_norm
@@ -40,6 +40,7 @@ from ..ops.rope import apply_rope, default_inv_freq, rope_tables
 from ..ops.sampling import process_and_sample
 from ..weights import matmul_t, weight_rows
 from .generate import GenerationConfig, suppress_mask_for
+from .jit_options import DECODE_COMPILER_OPTIONS
 
 Params = Dict[str, Any]
 
@@ -323,8 +324,9 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
     code0_embed = jnp.take(params["codec_embedding"], state.code0, axis=0
                            )[:, None, :].astype(dtype)
     key, k1, k2 = jax.random.split(key, 3)
-    sub_codes, sub_emb_sum = code_predictor_frame(
-        params, cfg, state.last_hidden, code0_embed, k1, gen_cfg.subtalker)
+    sub_codes, sub_emb_sum = code_predictor_frame_dispatch(
+        params, cfg, state.last_hidden, code0_embed, k1, gen_cfg.subtalker,
+        fused=gen_cfg.fused_subtalker)
     frames = jnp.concatenate([state.code0[:, None], sub_codes], axis=1)
 
     # dual-track merge with per-slot trailing index
@@ -400,7 +402,7 @@ def unpack_chunk_aux(aux: np.ndarray, num_slots: int, ticks: int, Q: int,
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len", "ticks",
                                    "installs_per_tick"),
-         donate_argnums=(2,))
+         donate_argnums=(2,), compiler_options=DECODE_COMPILER_OPTIONS)
 def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
                 gen_cfg: GenerationConfig, key: jax.Array, ticks: int,
                 attend_len: Optional[int] = None,

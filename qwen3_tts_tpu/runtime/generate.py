@@ -33,9 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TalkerConfig
-from ..models.talker import (KVCache, StackDims, code_predictor_frame,
+from ..models.talker import (KVCache, StackDims, code_predictor_frame_dispatch,
                              talker_decode_step, talker_prefill)
 from ..ops.sampling import SamplingParams, process_and_sample
+from .jit_options import DECODE_COMPILER_OPTIONS
 
 Params = Dict[str, Any]
 
@@ -46,6 +47,9 @@ class GenerationConfig:
     min_new_tokens: int = 2
     sampling: SamplingParams = field(default_factory=SamplingParams)
     subtalker: SamplingParams = field(default_factory=SamplingParams)
+    # Route the 15-step sub-talker through the fused Pallas megakernel
+    # (requires int8 params; W8A8 numerics -- see ops/pallas/subtalker.py).
+    fused_subtalker: bool = False
 
 
 def suppress_mask_for(cfg: TalkerConfig) -> jnp.ndarray:
@@ -143,8 +147,9 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     code0_embed = jnp.take(params["codec_embedding"], state.code0, axis=0
                            )[:, None, :].astype(dtype)
     key, k1, k2 = jax.random.split(state.key, 3)
-    sub_codes, sub_emb_sum = code_predictor_frame(
-        params, cfg, state.last_hidden, code0_embed, k1, gen_cfg.subtalker)
+    sub_codes, sub_emb_sum = code_predictor_frame_dispatch(
+        params, cfg, state.last_hidden, code0_embed, k1, gen_cfg.subtalker,
+        fused=gen_cfg.fused_subtalker)
     frame = jnp.concatenate([state.code0[:, None], sub_codes], axis=1)
 
     active = ~now_done
@@ -186,7 +191,7 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len",
                                    "use_pallas_attention"),
-         donate_argnums=(4,))
+         donate_argnums=(4,), compiler_options=DECODE_COMPILER_OPTIONS)
 def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
                  const: DecodeConst, state: DecodeState, num_frames: int,
                  attend_len: Optional[int] = None,
@@ -259,7 +264,8 @@ def generate_frames_chunked(params: Params, cfg: TalkerConfig,
     return GenerationResult(jnp.asarray(codes), jnp.asarray(lengths), hidden)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg"))
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg"),
+         compiler_options=DECODE_COMPILER_OPTIONS)
 def generate_frames(params: Params, cfg: TalkerConfig,
                     gen_cfg: GenerationConfig,
                     inputs_embeds: jax.Array, attn_mask: jax.Array,
