@@ -179,7 +179,10 @@ def test_voice_design_instruct_parity():
 
 
 @requires_reference
-def test_voice_clone_icl_parity():
+@pytest.mark.parametrize("non_streaming", [False, True])
+def test_voice_clone_icl_parity(non_streaming):
+    """ICL voice clone, both streaming (reference 2015-2019) and
+    non-streaming (2002-2013) prompt layouts."""
     from qwen3_tts_tpu.runtime.prompts import PromptSpec
 
     import torch
@@ -199,9 +202,43 @@ def test_voice_clone_icl_parity():
                x_vector_only_mode=[False], icl_mode=[True])
     want = _ref_generate(model, ids, M,
                          ref_ids=[torch.from_numpy(ref_id).reshape(1, -1)],
-                         voice_clone_prompt=vcp, non_streaming_mode=False)
+                         voice_clone_prompt=vcp,
+                         non_streaming_mode=non_streaming)
 
     specs = [PromptSpec(input_id=ids[0], speaker_embed=spk_embed,
-                        ref_id=ref_id, ref_code=ref_code, non_streaming=False)]
+                        ref_id=ref_id, ref_code=ref_code,
+                        non_streaming=non_streaming)]
     got = _our_generate(params, cfg, specs, M)
     np.testing.assert_array_equal(got[0], want[0])
+
+
+@requires_reference
+@pytest.mark.parametrize("non_streaming", [False, True])
+def test_voice_clone_x_vector_only_parity(non_streaming):
+    """x_vector_only clone: speaker embedding in the spk slot, no ICL block
+    (reference qwen3_tts_model.py:478-520 -> modeling 2103-2106: icl_mode
+    False skips generate_icl_prompt, ref_code entry is None)."""
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec
+
+    import torch
+
+    ref, rcfg, model = _make_reference_model(model_type="base")
+    params, cfg = _to_jax(model)
+    rng = np.random.default_rng(4)
+    ids = [_fake_tokens(rng, 12), _fake_tokens(rng, 8)]
+    spk = [rng.normal(0, 0.1, size=(64,)).astype(np.float32)
+           for _ in ids]
+    M = 5
+
+    vcp = dict(ref_code=[None, None],
+               ref_spk_embedding=[torch.from_numpy(s) for s in spk],
+               x_vector_only_mode=[True, True], icl_mode=[False, False])
+    want = _ref_generate(model, ids, M, voice_clone_prompt=vcp,
+                         non_streaming_mode=non_streaming)
+
+    specs = [PromptSpec(input_id=i, speaker_embed=s,
+                        non_streaming=non_streaming)
+             for i, s in zip(ids, spk)]
+    got = _our_generate(params, cfg, specs, M)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
