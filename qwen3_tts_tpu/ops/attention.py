@@ -47,6 +47,42 @@ def mask_to_bias(mask: jax.Array) -> jax.Array:
     return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
 
 
+def attention_kv_quant(q: jax.Array, kq: jax.Array, ks: jax.Array,
+                       vq: jax.Array, vs: jax.Array,
+                       mask: Optional[jax.Array] = None,
+                       scale: Optional[float] = None) -> jax.Array:
+    """GQA over an int8-quantized KV window without dequantizing it.
+
+    kq/vq: (B, Tk, Hkv, D) int8; ks/vs: (B, Tk, Hkv) fp32 per-(slot, head)
+    scales.  The K scale folds into the score matrix and the V scale into the
+    probabilities, so the only HBM reads of the KV window are the int8
+    buffers + the tiny scale planes (the int8->compute convert fuses into the
+    matmul operand loads; a dequantized (B, Tk, Hkv, D) tensor is never
+    materialized).
+    """
+    B, Tq, Hq, D = q.shape
+    Hkv = kq.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    groups = Hq // Hkv
+
+    qg = q.reshape(B, Tq, Hkv, groups, D)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, kq.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    # scores[b,h,g,q,s] *= ks[b,s,h] * 1/sqrt(D)
+    scores = scores * (ks.astype(jnp.float32).transpose(0, 2, 1)
+                       [:, :, None, None, :] * scale)
+    if mask is not None:
+        bias = mask_to_bias(mask) if mask.dtype == jnp.bool_ else mask.astype(jnp.float32)
+        scores = scores + bias[:, :, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    # fold the V scale into the probabilities (fp32) before the int8 matmul
+    probs = (probs * vs.astype(jnp.float32).transpose(0, 2, 1)
+             [:, :, None, None, :]).astype(q.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vq.astype(q.dtype))
+    return out.reshape(B, Tq, Hq, D)
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
               mask: Optional[jax.Array] = None,
               scale: Optional[float] = None) -> jax.Array:

@@ -33,8 +33,8 @@ import numpy as np
 
 from ..config import TalkerConfig
 from ..models.talker import (KVCache, StackDims, code_predictor_frame_dispatch,
-                             talker_prefill)
-from ..ops.attention import attention, mask_to_bias
+                             kv_quantize, talker_prefill)
+from ..ops.attention import attention, attention_kv_quant, mask_to_bias
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, default_inv_freq, rope_tables
 from ..ops.sampling import process_and_sample
@@ -74,19 +74,24 @@ class SlotState(NamedTuple):
     staged_max_frames: jax.Array  # (K,)
     staged_req_id: jax.Array      # (K,)
     staged_valid: jax.Array       # (K,) bool
+    # int8 KV mode only (None otherwise): staging-pool scale buffers
+    staged_k_scale: Optional[jax.Array] = None  # (L, K, Lp, Hkv) fp32
+    staged_v_scale: Optional[jax.Array] = None
 
 
 def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
                     max_trailing: int, dtype=jnp.bfloat16,
                     prefill_bucket: int = 128,
-                    staging_rows: Optional[int] = None) -> SlotState:
+                    staging_rows: Optional[int] = None,
+                    kv_quant: bool = False) -> SlotState:
     dims = StackDims.from_talker(cfg)
     B, S, H = num_slots, max_len, cfg.hidden_size
     K = staging_rows or num_slots
     L, Lp = cfg.num_hidden_layers, prefill_bucket
+    kv_dtype = jnp.int8 if kv_quant else dtype
     return SlotState(
         cache=KVCache.zeros(L, B, S, dims.kv_heads, dims.head_dim,
-                            dtype=dtype),
+                            dtype=dtype, quantized=kv_quant),
         kv_valid=jnp.zeros((B, S), bool),
         active=jnp.zeros((B,), bool),
         code0=jnp.zeros((B,), jnp.int32),
@@ -101,8 +106,12 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         tts_pad=jnp.zeros((1, 1, H), dtype),
         max_frames=jnp.zeros((B,), jnp.int32),
         req_id=jnp.full((B,), -1, jnp.int32),
-        staged_k=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), dtype),
-        staged_v=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), dtype),
+        staged_k=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
+        staged_v=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
+        staged_k_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
+                        if kv_quant else None),
+        staged_v_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
+                        if kv_quant else None),
         staged_kv_valid=jnp.zeros((K, Lp), bool),
         staged_code0=jnp.zeros((K,), jnp.int32),
         staged_hidden=jnp.zeros((K, H), dtype),
@@ -146,7 +155,8 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
     K = state.staged_valid.shape[0]
 
     tmp = KVCache.zeros(cfg.num_hidden_layers, N, Lp, dims.kv_heads,
-                        dims.head_dim, dtype=state.cache.k.dtype)
+                        dims.head_dim, dtype=state.last_hidden.dtype,
+                        quantized=state.cache.quantized)
     logits, hidden_seq, tmp = talker_prefill(params, cfg, inputs_embeds,
                                              attn_mask, tmp)
     key, sub = jax.random.split(key)
@@ -174,6 +184,10 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
     return state._replace(
         staged_k=merge(state.staged_k, tmp.k, 1),
         staged_v=merge(state.staged_v, tmp.v, 1),
+        staged_k_scale=(merge(state.staged_k_scale, tmp.k_scale, 1)
+                        if state.cache.quantized else None),
+        staged_v_scale=(merge(state.staged_v_scale, tmp.v_scale, 1)
+                        if state.cache.quantized else None),
         staged_kv_valid=merge(state.staged_kv_valid, attn_mask.astype(bool), 0),
         staged_code0=merge(state.staged_code0, code0.astype(jnp.int32), 0),
         staged_hidden=merge(state.staged_hidden, hidden_seq[:, -1, :], 0),
@@ -211,12 +225,25 @@ def _install_one(state: SlotState) -> SlotState:
                                              (0, slot, 0, 0, 0))
         v_new = jax.lax.dynamic_update_slice(st.cache.v, vblk,
                                              (0, slot, 0, 0, 0))
+        if st.cache.quantized:
+            ks_blk = jax.lax.dynamic_slice(st.staged_k_scale, (0, ridx, 0, 0),
+                                           (L, 1, Lp, Hkv))
+            vs_blk = jax.lax.dynamic_slice(st.staged_v_scale, (0, ridx, 0, 0),
+                                           (L, 1, Lp, Hkv))
+            cache_new = KVCache(
+                k_new, v_new,
+                jax.lax.dynamic_update_slice(st.cache.k_scale, ks_blk,
+                                             (0, slot, 0, 0)),
+                jax.lax.dynamic_update_slice(st.cache.v_scale, vs_blk,
+                                             (0, slot, 0, 0)))
+        else:
+            cache_new = KVCache(k_new, v_new)
         kv_row = jnp.zeros((S,), bool)
         kv_row = jax.lax.dynamic_update_slice(
             kv_row, st.staged_kv_valid[ridx], (0,))
 
         return st._replace(
-            cache=KVCache(k_new, v_new),
+            cache=cache_new,
             kv_valid=st.kv_valid.at[slot].set(kv_row),
             active=st.active.at[slot].set(True),
             code0=st.code0.at[slot].set(st.staged_code0[ridx]),
@@ -250,9 +277,11 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
     nkv = dims.kv_heads * dims.head_dim
     S_att = cache.k.shape[2] if attend_len is None else attend_len
 
+    quantized = cache.quantized
+
     # caches ride in the carry (in-place loop buffers) — see decoder_stack
     def body(carry, xs):
-        hh, kfull, vfull = carry
+        hh, cc = carry
         lp, idx = xs
         attn = lp["self_attn"]
         x = rms_norm(hh, lp["input_layernorm"]["weight"], dims.eps)
@@ -264,16 +293,34 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         k = rms_norm(k, attn["k_norm"]["weight"], dims.eps)
         q, k = apply_rope(q, k, cos, sin)
 
-        kfull = kfull.at[idx, rows, slot_index].set(k[:, 0].astype(kfull.dtype))
-        vfull = vfull.at[idx, rows, slot_index].set(v[:, 0].astype(vfull.dtype))
+        if quantized:
+            kq, ks = kv_quantize(k[:, 0])
+            vq, vs = kv_quantize(v[:, 0])
+            cc = KVCache(
+                cc.k.at[idx, rows, slot_index].set(kq),
+                cc.v.at[idx, rows, slot_index].set(vq),
+                cc.k_scale.at[idx, rows, slot_index].set(ks),
+                cc.v_scale.at[idx, rows, slot_index].set(vs))
+        else:
+            cc = KVCache(
+                cc.k.at[idx, rows, slot_index].set(k[:, 0].astype(cc.k.dtype)),
+                cc.v.at[idx, rows, slot_index].set(v[:, 0].astype(cc.v.dtype)))
 
         k_att = jax.lax.dynamic_slice(
-            kfull, (idx, 0, 0, 0, 0),
+            cc.k, (idx, 0, 0, 0, 0),
             (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
         v_att = jax.lax.dynamic_slice(
-            vfull, (idx, 0, 0, 0, 0),
+            cc.v, (idx, 0, 0, 0, 0),
             (1, B, S_att, dims.kv_heads, dims.head_dim))[0]
-        o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype), mask_bias)
+        if quantized:
+            ks_att = jax.lax.dynamic_slice(
+                cc.k_scale, (idx, 0, 0, 0), (1, B, S_att, dims.kv_heads))[0]
+            vs_att = jax.lax.dynamic_slice(
+                cc.v_scale, (idx, 0, 0, 0), (1, B, S_att, dims.kv_heads))[0]
+            o = attention_kv_quant(q, k_att, ks_att, v_att, vs_att, mask_bias)
+        else:
+            o = attention(q, k_att.astype(x.dtype), v_att.astype(x.dtype),
+                          mask_bias)
         o = matmul_t(o.reshape(B, 1, dims.heads * dims.head_dim), attn["o_proj"]["weight"])
         hh = hh + o
         x = rms_norm(hh, lp["post_attention_layernorm"]["weight"], dims.eps)
@@ -282,13 +329,13 @@ def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
         gu = matmul_t(x, mlp["gate_up_proj"]["weight"])
         hh = hh + matmul_t(jax.nn.silu(gu[..., :inter]) * gu[..., inter:],
                            mlp["down_proj"]["weight"])
-        return (hh, kfull, vfull), None
+        return (hh, cc), None
 
     n_layers = cache.k.shape[0]
-    (h, k_new, v_new), _ = jax.lax.scan(
-        body, (h, cache.k, cache.v), (stacked, jnp.arange(n_layers)))
+    (h, cache), _ = jax.lax.scan(
+        body, (h, cache), (stacked, jnp.arange(n_layers)))
     h = rms_norm(h, norm["weight"], dims.eps)
-    return h, KVCache(k_new, v_new)
+    return h, cache
 
 
 def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
@@ -481,7 +528,8 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"prefill_bucket {self.prefill_bucket} must be < max_len {max_len}")
         self.state = init_slot_state(cfg, num_slots, max_len, max_trailing,
-                                     dtype, prefill_bucket=self.prefill_bucket)
+                                     dtype, prefill_bucket=self.prefill_bucket,
+                                     kv_quant=gen_cfg.kv_quant)
         self.key = jax.random.PRNGKey(seed)
         self.ticks_per_sync = ticks_per_sync
         self.installs_per_tick = installs_per_tick

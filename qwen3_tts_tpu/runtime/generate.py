@@ -50,6 +50,9 @@ class GenerationConfig:
     # Route the 15-step sub-talker through the fused Pallas megakernel
     # (requires int8 params; W8A8 numerics -- see ops/pallas/subtalker.py).
     fused_subtalker: bool = False
+    # Store the talker KV cache as per-(slot, head) symmetric int8 (halves
+    # decode attention HBM reads; sub-frame-level numerics drift only).
+    kv_quant: bool = False
 
 
 def suppress_mask_for(cfg: TalkerConfig) -> jnp.ndarray:
@@ -100,7 +103,8 @@ def init_decode_state(params: Params, cfg: TalkerConfig,
     dtype = inputs_embeds.dtype
 
     cache = KVCache.zeros(cfg.num_hidden_layers, B, max_len, dims.kv_heads,
-                          dims.head_dim, dtype=dtype)
+                          dims.head_dim, dtype=dtype,
+                          quantized=gen_cfg.kv_quant)
     logits, hidden_seq, cache = talker_prefill(params, cfg, inputs_embeds,
                                                attn_mask, cache)
     presence = jnp.zeros((B, cfg.vocab_size), bool)
