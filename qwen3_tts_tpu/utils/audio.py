@@ -2,8 +2,10 @@
 
 The reference normalizes audio inputs from paths/URLs/base64/ndarrays
 (qwen_tts/inference/qwen3_tts_model.py:188-264) via librosa/soundfile.  This
-module provides the same surface with stdlib WAV parsing + scipy polyphase
-resampling, so the framework has zero native audio dependencies.
+module provides the same surface with zero native audio dependencies:
+stdlib WAV parsing, a pure-numpy FLAC decoder (utils/flac.py), and scipy
+polyphase resampling.  Formats beyond WAV/FLAC (mp3/ogg/...) dispatch to
+soundfile or librosa when those are installed, with a clear error otherwise.
 """
 
 from __future__ import annotations
@@ -94,6 +96,51 @@ def write_wav(path: str, audio: np.ndarray, sr: int) -> None:
         w.writeframes(pcm.tobytes())
 
 
+def read_audio(path_or_bytes) -> Tuple[np.ndarray, int]:
+    """Decode any supported audio payload -> (float32 (T,) or (T, C), sr).
+
+    Dispatch by magic bytes: RIFF/WAVE -> stdlib parser, fLaC -> pure-numpy
+    FLAC decoder; anything else falls back to soundfile, then librosa, if
+    installed (mirroring the reference's librosa/soundfile surface,
+    qwen3_tts_model.py:188-264).
+    """
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        head = bytes(path_or_bytes[:4])
+    else:
+        with open(path_or_bytes, "rb") as f:
+            head = f.read(4)
+    if head[:4] == b"RIFF":
+        return read_wav(path_or_bytes)
+    if head[:4] == b"fLaC":
+        from .flac import read_flac
+
+        return read_flac(path_or_bytes)
+    payload = (bytes(path_or_bytes) if isinstance(path_or_bytes, (bytes, bytearray))
+               else path_or_bytes)
+    try:
+        import soundfile as _sf
+    except ImportError:
+        _sf = None
+    if _sf is not None and callable(getattr(_sf, "read", None)):
+        src = io.BytesIO(payload) if isinstance(payload, bytes) else payload
+        x, sr = _sf.read(src, dtype="float32", always_2d=False)
+        return np.asarray(x, np.float32), int(sr)
+    try:
+        import librosa as _lr
+    except ImportError:
+        _lr = None
+    if _lr is not None and callable(getattr(_lr, "load", None)):
+        src = io.BytesIO(payload) if isinstance(payload, bytes) else payload
+        x, sr = _lr.load(src, sr=None, mono=False)
+        if x.ndim > 1:
+            x = x.T
+        return np.asarray(x, np.float32), int(sr)
+    raise ValueError(
+        "unsupported audio format (magic bytes %r): WAV and FLAC decode "
+        "natively; install soundfile or librosa for mp3/ogg/other formats"
+        % head)
+
+
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase resampling (scipy.signal.resample_poly)."""
     if orig_sr == target_sr:
@@ -142,12 +189,12 @@ def load_audio(x: AudioLike) -> Tuple[np.ndarray, int]:
 
         with urllib.request.urlopen(x) as resp:
             payload = resp.read()
-        wav, sr = read_wav(payload)
+        wav, sr = read_audio(payload)
     elif _is_probably_base64(x):
         b64 = x.split(",", 1)[1] if ("," in x and x.strip().startswith("data:")) else x
-        wav, sr = read_wav(base64.b64decode(b64))
+        wav, sr = read_audio(base64.b64decode(b64))
     else:
-        wav, sr = read_wav(x)
+        wav, sr = read_audio(x)
     return to_mono(wav), sr
 
 
