@@ -52,8 +52,24 @@ class VoiceClonePromptItem:
 
 def save_voice_clone_prompts(path: str,
                              items: List["VoiceClonePromptItem"]) -> None:
-    """Persist prompt items as .npz (the reference demo saves torch .pt
-    payloads, qwen_tts/cli/demo.py:516-522)."""
+    """Persist prompt items. `.pt` paths write the reference demo's torch
+    payload `{"items": [asdict(item)]}` with tensor fields
+    (qwen_tts/cli/demo.py:516-522) — interchangeable with prompts made by
+    the reference UI; any other extension writes torch-free .npz."""
+    if str(path).endswith(".pt"):
+        import torch
+
+        payload = {"items": [{
+            "ref_code": (None if it.ref_code is None
+                         else torch.from_numpy(np.array(it.ref_code))),
+            "ref_spk_embedding": torch.from_numpy(
+                np.array(it.ref_spk_embedding, np.float32)),
+            "x_vector_only_mode": bool(it.x_vector_only_mode),
+            "icl_mode": bool(it.icl_mode),
+            "ref_text": it.ref_text,
+        } for it in items]}
+        torch.save(payload, path)
+        return
     payload: Dict[str, Any] = {"n": np.asarray(len(items))}
     for i, it in enumerate(items):
         payload[f"spk_{i}"] = np.asarray(it.ref_spk_embedding)
@@ -65,7 +81,37 @@ def save_voice_clone_prompts(path: str,
     np.savez(path, **payload)
 
 
+def _load_pt_prompts(path: str) -> List["VoiceClonePromptItem"]:
+    """Load a reference-made torch `.pt` voice-prompt payload
+    (qwen_tts/cli/demo.py:533-563: dict with an "items" list of dicts)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(payload, dict) or "items" not in payload:
+        raise ValueError(f"{path}: not a voice-clone prompt payload "
+                         "(missing 'items')")
+    items = []
+    for d in payload["items"]:
+        code = d.get("ref_code")
+        if code is not None:
+            code = np.asarray(code.numpy() if torch.is_tensor(code) else code)
+        spk = d.get("ref_spk_embedding")
+        if spk is None:
+            raise ValueError(f"{path}: item missing ref_spk_embedding")
+        spk = np.asarray(spk.numpy() if torch.is_tensor(spk) else spk,
+                         np.float32)
+        xvec = bool(d.get("x_vector_only_mode", False))
+        items.append(VoiceClonePromptItem(
+            ref_code=code, ref_spk_embedding=spk, x_vector_only_mode=xvec,
+            icl_mode=bool(d.get("icl_mode", not xvec)),
+            ref_text=d.get("ref_text")))
+    return items
+
+
 def load_voice_clone_prompts(path: str) -> List["VoiceClonePromptItem"]:
+    """Load `.npz` (ours) or `.pt` (reference-demo) voice-clone prompts."""
+    if str(path).endswith(".pt"):
+        return _load_pt_prompts(path)
     data = np.load(path, allow_pickle=False)
     items = []
     for i in range(int(data["n"])):

@@ -35,6 +35,50 @@ def test_voice_clone_prompt_roundtrip(tmp_path):
     assert back[1].ref_code is None and back[1].x_vector_only_mode
 
 
+def test_voice_clone_prompt_pt_interop(tmp_path):
+    """.pt prompts are interchangeable with the reference demo's torch
+    payloads (qwen_tts/cli/demo.py:516-522 save, 533-563 load): a payload
+    written exactly the reference's way loads here, and ours round-trips."""
+    torch = pytest.importorskip("torch")
+    from qwen3_tts_tpu.inference.model import (VoiceClonePromptItem,
+                                               load_voice_clone_prompts,
+                                               save_voice_clone_prompts)
+
+    rng = np.random.default_rng(1)
+    code = rng.integers(0, 100, size=(5, 16))
+    spk = rng.normal(size=(32,)).astype(np.float32)
+
+    # a payload as the reference demo writes it (torch tensors, asdict items)
+    ref_path = str(tmp_path / "ref_prompt.pt")
+    torch.save({"items": [{
+        "ref_code": torch.from_numpy(code),
+        "ref_spk_embedding": torch.from_numpy(spk),
+        "x_vector_only_mode": False,
+        "icl_mode": True,
+        "ref_text": "ni hao",
+    }]}, ref_path)
+    back = load_voice_clone_prompts(ref_path)
+    assert len(back) == 1 and back[0].icl_mode and back[0].ref_text == "ni hao"
+    np.testing.assert_array_equal(back[0].ref_code, code)
+    np.testing.assert_allclose(back[0].ref_spk_embedding, spk)
+
+    # our .pt writer round-trips through our loader AND torch.load
+    items = [VoiceClonePromptItem(ref_code=code, ref_spk_embedding=spk,
+                                  x_vector_only_mode=False, icl_mode=True,
+                                  ref_text="hello"),
+             VoiceClonePromptItem(ref_code=None, ref_spk_embedding=spk,
+                                  x_vector_only_mode=True, icl_mode=False)]
+    our_path = str(tmp_path / "ours.pt")
+    save_voice_clone_prompts(our_path, items)
+    back2 = load_voice_clone_prompts(our_path)
+    assert back2[1].ref_code is None and back2[1].x_vector_only_mode
+    np.testing.assert_array_equal(back2[0].ref_code, code)
+    # the reference loader's own checks (demo.py:536-547) hold
+    payload = torch.load(our_path, map_location="cpu", weights_only=True)
+    assert isinstance(payload, dict) and "items" in payload
+    assert torch.is_tensor(payload["items"][0]["ref_spk_embedding"])
+
+
 def test_wav_roundtrip(tmp_path):
     from qwen3_tts_tpu.utils.audio import read_wav, resample, write_wav
 
