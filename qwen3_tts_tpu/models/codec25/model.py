@@ -4,9 +4,10 @@ ref-mel) and decode (codes -> DiT mel -> BigVGAN wav).
 Rebuilds Qwen3TTSTokenizerV1Model (reference
 modeling_qwen3_tts_tokenizer_v1.py:1360-1526) and the x-vector extraction
 path (vq/speech_vq.py:118-159).  The CAM++ x-vector network ships as ONNX
-(`campplus.onnx`); this build runs it through onnxruntime when available and
-otherwise degrades gracefully (decode still works with externally supplied
-x-vectors).
+(`campplus.onnx`); the default path here loads its initializers and runs the
+network in pure JAX (models/codec25/campplus.py), with onnxruntime as an
+optional fallback/cross-check.  Decode also works with externally supplied
+x-vectors when neither is possible.
 """
 
 from __future__ import annotations
@@ -44,12 +45,23 @@ def _bigvgan_jit(params, cfg, mel):
 
 
 class XVectorExtractor:
-    """CAM++ speaker vector via onnxruntime (CPU), plus BigVGAN-style
-    reference mel.  Reference: vq/speech_vq.py:118-159."""
+    """CAM++ speaker vector (pure-JAX CAM++ by default, onnxruntime as
+    fallback), plus BigVGAN-style reference mel.
+    Reference: vq/speech_vq.py:118-159."""
 
-    def __init__(self, onnx_path: Optional[str]):
+    def __init__(self, onnx_path: Optional[str], prefer_jax: bool = True):
         self.session = None
-        if onnx_path is not None:
+        self.jax_params = None
+        self.jax_cfg = None
+        if onnx_path is not None and prefer_jax:
+            try:
+                from .campplus import CAMPPlusConfig, load_campplus_params
+
+                self.jax_params = load_campplus_params(onnx_path)
+                self.jax_cfg = CAMPPlusConfig()
+            except (ValueError, OSError):
+                self.jax_params = None  # fall through to onnxruntime
+        if onnx_path is not None and self.jax_params is None:
             try:
                 import onnxruntime
 
@@ -74,15 +86,23 @@ class XVectorExtractor:
         """16 kHz waveform -> (xvector (D,), ref_mel (T, 80))."""
         norm = self._peak_norm(np.asarray(audio, np.float32))
         ref_mel = np.asarray(bigvgan_ref_mel(norm[None]))[0].T  # (T, 80)
-        if self.session is None:
-            raise RuntimeError(
-                "onnxruntime is unavailable: cannot run the CAM++ x-vector "
-                "model. Pass precomputed `xvectors` to decode(), or install "
-                "onnxruntime.")
-        feat = kaldi_fbank(norm, num_mel_bins=80)
+        n_bins = 80 if self.jax_cfg is None else self.jax_cfg.feat_dim
+        feat = kaldi_fbank(norm, num_mel_bins=n_bins)
         feat = feat - feat.mean(axis=0, keepdims=True)
-        emb = self.session.run(
-            None, {self.session.get_inputs()[0].name: feat[None]})[0].flatten()
+        if self.jax_params is not None:
+            from .campplus import campplus_embed
+
+            emb = np.asarray(campplus_embed(self.jax_params, self.jax_cfg,
+                                            jnp.asarray(feat[None]))).flatten()
+        elif self.session is not None:
+            emb = self.session.run(
+                None,
+                {self.session.get_inputs()[0].name: feat[None]})[0].flatten()
+        else:
+            raise RuntimeError(
+                "no CAM++ weights loadable in JAX and onnxruntime is "
+                "unavailable: pass precomputed `xvectors` to decode(), or "
+                "install onnxruntime.")
         emb = emb / max(np.linalg.norm(emb), 1e-12)
         return emb.astype(np.float32), ref_mel.astype(np.float32)
 
