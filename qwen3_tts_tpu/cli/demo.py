@@ -204,6 +204,52 @@ def _launch_gradio(model, kind: str, overrides, args) -> None:
             **overrides)
         return (sr, np.asarray(wavs[0]))
 
+    def save_prompt(ref_audio, ref_text, xvec_only):
+        """Persist a reusable voice prompt as a reference-compatible .pt
+        payload (reference demo.py:500-522)."""
+        import os
+        import tempfile
+
+        from ..inference.model import save_voice_clone_prompts
+
+        try:
+            if ref_audio is None:
+                return None, "Reference audio is required."
+            if not xvec_only and not (ref_text or "").strip():
+                return None, ("Reference text is required when x-vector-only "
+                              "is not enabled.")
+            items = model.create_voice_clone_prompt(
+                ref_audio=ref_audio,
+                ref_text=(ref_text or "").strip() or None,
+                x_vector_only_mode=bool(xvec_only))
+            fd, out = tempfile.mkstemp(prefix="voice_clone_prompt_",
+                                       suffix=".pt")
+            os.close(fd)
+            save_voice_clone_prompts(out, items)
+            return out, "Finished."
+        except Exception as e:  # surfaced per-request like the reference UI
+            return None, f"{type(e).__name__}: {e}"
+
+    def load_prompt_and_gen(file_obj, text, language):
+        """Generate from a saved .pt/.npz voice prompt (reference
+        demo.py:526-582); accepts prompts made by the reference demo."""
+        from ..inference.model import load_voice_clone_prompts
+
+        try:
+            if file_obj is None:
+                return None, "Voice file is required."
+            if not (text or "").strip():
+                return None, "Target text is required."
+            path = (getattr(file_obj, "name", None)
+                    or getattr(file_obj, "path", None) or str(file_obj))
+            items = load_voice_clone_prompts(path)
+            wavs, sr = model.generate_voice_clone(
+                text=text.strip(), language=language or None,
+                voice_clone_prompt=items, **overrides)
+            return (sr, np.asarray(wavs[0])), "Finished."
+        except Exception as e:
+            return None, f"{type(e).__name__}: {e}"
+
     with gr.Blocks(title="Qwen3-TTS (TPU)") as demo:
         if kind == "custom_voice":
             text = gr.Textbox(label="Text")
@@ -233,6 +279,16 @@ def _launch_gradio(model, kind: str, overrides, args) -> None:
             audio = gr.Audio(label="Output")
             gr.Button("Generate").click(
                 tts_clone, [text, ref_audio, ref_text, language, xvec], audio)
+            # voice-prompt save/load (reference demo.py:384-582)
+            status = gr.Textbox(label="Status", interactive=False)
+            prompt_file = gr.File(label="Voice prompt (.pt)")
+            gr.Button("Save voice prompt").click(
+                save_prompt, [ref_audio, ref_text, xvec],
+                [prompt_file, status])
+            load_file = gr.File(label="Load voice prompt")
+            gr.Button("Generate from voice prompt").click(
+                load_prompt_and_gen, [load_file, text, language],
+                [audio, status])
     demo.queue(default_concurrency_limit=args.concurrency).launch(
         server_name=args.ip, server_port=args.port, share=args.share,
         ssl_certfile=args.ssl_certfile, ssl_keyfile=args.ssl_keyfile)
