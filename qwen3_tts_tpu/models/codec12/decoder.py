@@ -22,6 +22,7 @@ an extra `_codebooks` entry added by `prepare_decoder_params`.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict
 
 import jax
@@ -220,6 +221,12 @@ def decode_frames(params: Params, cfg: CodecV2DecoderConfig,
     return jnp.clip(wav, -1.0, 1.0)
 
 
+# one compiled program per (chunk shape, cfg); eager dispatch of the ~600-op
+# conv stack costs tens of seconds of per-op mini-compiles on first use
+decode_frames_jit = partial(jax.jit,
+                            static_argnames=("cfg", "dtype"))(decode_frames)
+
+
 def chunked_decode(params: Params, cfg: CodecV2DecoderConfig, codes: jax.Array,
                    chunk_size: int = 300, left_context_size: int = 25,
                    dtype=jnp.float32) -> jax.Array:
@@ -235,11 +242,12 @@ def chunked_decode(params: Params, cfg: CodecV2DecoderConfig, codes: jax.Array,
     up = cfg.total_upsample
     wavs = []
     start = 0
+    codes = jnp.asarray(codes)
     while start < total:
         end = min(start + chunk_size, total)
         ctx = left_context_size if start - left_context_size > 0 else start
         chunk = codes[..., start - ctx:end]
-        wav = decode_frames(params, cfg, chunk, dtype=dtype)
+        wav = decode_frames_jit(params, cfg, chunk, dtype=dtype)
         wavs.append(wav[..., ctx * up:])
         start = end
     return jnp.concatenate(wavs, axis=-1)

@@ -515,7 +515,8 @@ class ContinuousBatchingEngine:
                  dtype=jnp.bfloat16, seed: int = 0,
                  ticks_per_sync: int = 8,
                  prefill_bucket: Optional[int] = None,
-                 installs_per_tick: int = 4):
+                 installs_per_tick: int = 4,
+                 staging_rows: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
@@ -527,9 +528,16 @@ class ContinuousBatchingEngine:
         if self.prefill_bucket >= max_len:
             raise ValueError(
                 f"prefill_bucket {self.prefill_bucket} must be < max_len {max_len}")
+        # staging pool deeper than the slot count: the NEXT generation of
+        # requests prefills while slots are still busy and installs into
+        # freed slots mid-chunk — whole request waves turn over without a
+        # host sync in between
+        self.staging_rows = int(staging_rows if staging_rows is not None
+                                else 2 * num_slots)
         self.state = init_slot_state(cfg, num_slots, max_len, max_trailing,
                                      dtype, prefill_bucket=self.prefill_bucket,
-                                     kv_quant=gen_cfg.kv_quant)
+                                     kv_quant=gen_cfg.kv_quant,
+                                     staging_rows=self.staging_rows)
         self.key = jax.random.PRNGKey(seed)
         self.ticks_per_sync = ticks_per_sync
         self.installs_per_tick = installs_per_tick
@@ -541,6 +549,10 @@ class ContinuousBatchingEngine:
         self._pad_cache: Dict[Tuple[int, int], Any] = {}
         self._zero_rows = None   # device-resident padding entry for N-buckets
         self._tts_pad_dev = None
+        # chunk pipelining: launched chunks whose packed aux is still on
+        # device ((aux, ticks) FIFO) — synced one chunk behind under load
+        self._unprocessed: deque = deque()
+        self._ticks_in_flight = 0
 
     def _pad_fn(self, T: int, Tt_in: int):
         """Jitted per-(T, Tt_in) request padding — runs on device so request
@@ -577,12 +589,12 @@ class ContinuousBatchingEngine:
                              min(req.trailing_len, self.max_trailing),
                              req.max_frames))
 
-    def _stage_pending(self) -> None:
-        free_rows = [k for k in range(self.num_slots)
+    def _stage_pending(self) -> int:
+        free_rows = [k for k in range(self.staging_rows)
                      if k not in self.staged_rows_busy]
         n = min(len(self.pending), len(free_rows))
         if n == 0:
-            return
+            return 0
         Nb = 1 << (n - 1).bit_length()   # pow2 bucket => few compiled shapes
         S = self.state.cache.k.shape[2]
         if self._zero_rows is None:
@@ -612,6 +624,7 @@ class ContinuousBatchingEngine:
             self.params, self.cfg, self.state, self.gen_cfg,
             tuple(embeds_rows), tuple(mask_rows), tuple(trailing_rows),
             jnp.asarray(meta), self._tts_pad_dev, sub)
+        return n
 
     def _next_ticks(self) -> int:
         """Chunk length: full `ticks_per_sync` under queue pressure; once the
@@ -629,27 +642,30 @@ class ContinuousBatchingEngine:
             return ticks
         return 1 << max(0, (need - 1)).bit_length()
 
-    def step(self) -> List[Completion]:
-        """One engine tick: stage pending requests (batched), advance all
-        slots on device for one chunk (installing staged requests into freed
-        slots mid-chunk), then collect finished requests.
-
-        Exactly ONE device-to-host transfer per chunk (the packed aux) —
-        liveness, staging-row occupancy and the attention bucket are all
-        tracked host-side, because each round trip costs ~100 ms on
-        remote-tunnel backends."""
-        self._stage_pending()
-        if not self.frames_acc:
-            return []
+    def _launch_chunk(self) -> None:
+        """Dispatch one serve_chunk; its packed aux stays ON DEVICE (appended
+        to the unprocessed queue) so the D2H round trip (~100 ms on
+        remote-tunnel backends) can overlap the next chunk's execution."""
         self.key, sub = jax.random.split(self.key)
-        # static attention bucket covering the furthest live slot by chunk end
+        # static attention bucket covering the furthest live slot by chunk
+        # end; liveness is stale by the in-flight ticks, so over-cover
         S = self.state.cache.k.shape[2]
         ticks = self._next_ticks()
-        max_idx = self.prefill_bucket + self.max_live_t
+        max_idx = (self.prefill_bucket + self.max_live_t
+                   + self._ticks_in_flight)
         attend = min(S, ((max_idx + ticks + 1 + 255) // 256) * 256)
         self.state, aux = serve_chunk(
             self.params, self.cfg, self.state, self.gen_cfg, sub, ticks,
             attend_len=attend, installs_per_tick=self.installs_per_tick)
+        self._unprocessed.append((aux, ticks))
+        self._ticks_in_flight += ticks
+
+    def _process_oldest(self) -> List[Completion]:
+        """Sync the oldest in-flight chunk's aux and attribute its frames."""
+        if not self._unprocessed:
+            return []
+        aux, ticks = self._unprocessed.popleft()
+        self._ticks_in_flight -= ticks
         frames, emit, req_id, finished, staged_valid, t_dev = unpack_chunk_aux(
             np.asarray(aux), self.num_slots, ticks,
             self.cfg.num_code_groups, self.state.staged_valid.shape[0])
@@ -672,10 +688,46 @@ class ContinuousBatchingEngine:
         self.max_live_t = int(t_dev.max()) if self.frames_acc else 0
         return completions
 
+    def _remaining_upper(self) -> int:
+        """Upper bound on frames still to generate across live requests
+        (exact after a sync; stale-high while chunks are in flight)."""
+        return sum(max(0, self.req_max_frames.get(r, 1) - len(a))
+                   for r, a in self.frames_acc.items())
+
+    def step(self) -> List[Completion]:
+        """One engine step: stage pending requests (batched), dispatch one
+        chunk, and collect finished requests from previously synced chunks.
+
+        Under sustained load at most one chunk's aux is left un-synced, so
+        its device-to-host transfer overlaps the next chunk's execution; at
+        the tail every aux is synced immediately so drain decisions use
+        fresh liveness."""
+        completions: List[Completion] = []
+        if self._stage_pending() == 0 and self.pending and self._unprocessed:
+            # staging blocked on rows whose release we have not observed yet
+            completions += self._process_oldest()
+            self._stage_pending()
+        if not self.frames_acc:
+            while self._unprocessed:
+                completions += self._process_oldest()
+            return completions
+        if self._remaining_upper() > self._ticks_in_flight * self.num_slots:
+            # the next chunk is guaranteed non-empty even with stale counts
+            self._launch_chunk()
+            while len(self._unprocessed) > 1:
+                completions += self._process_oldest()
+        else:
+            # all known work is covered by in-flight chunks: sync them
+            while self._unprocessed:
+                completions += self._process_oldest()
+        return completions
+
     def run_until_drained(self, max_ticks: int = 100000) -> List[Completion]:
         out: List[Completion] = []
         for _ in range(max_ticks):
             out.extend(self.step())
             if not self.pending and not self.frames_acc:
                 break
+        while self._unprocessed:
+            out.extend(self._process_oldest())
         return out
