@@ -11,6 +11,9 @@ checkpoints exist in-image; the compute graph is the production one):
   c) first_packet_p50_ms — p50 wall time to the first audio packet of a
      batch-1 StreamingSession (talker warmup chunk + first vocoder chunk),
      the README.md:54 "~97 ms" dual-track claim.
+  d) serving_rtf — the continuous-batching engine end to end (staggered
+     admission, slot reuse, pipelined chunk syncs) at 16 slots / 32
+     requests x 50 frames.  BENCH_SERVING=0 skips it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Headline `vs_baseline` is e2e_rtf / 10 — the BASELINE.json target of >=10x
@@ -131,18 +134,56 @@ def main():
             latencies.append(first * 1000.0)
     p50_ms = float(np.median(latencies))
 
+    # ---- (d) serving engine RTF: 16 slots, 32 staggered requests ----
+    serving_rtf = None
+    if os.environ.get("BENCH_SERVING", "1") == "1":
+        from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                    Request)
+
+        slots, n_req, frames_per = 16, 32, 50
+        eng_cfg = GenerationConfig(
+            max_new_tokens=frames_per + 1, sampling=gen_cfg.sampling,
+            subtalker=gen_cfg.subtalker, fused_subtalker=fused)
+        engine = ContinuousBatchingEngine(
+            params, cfg, eng_cfg, num_slots=slots,
+            max_len=L + frames_per + 8, max_trailing=32, dtype=dtype,
+            ticks_per_sync=50, prefill_bucket=L)
+
+        def make_req(i):
+            return Request(
+                request_id=i,
+                inputs_embeds=(0.02 * jax.random.normal(
+                    jax.random.fold_in(rng, i),
+                    (1, L, cfg.hidden_size))).astype(dtype),
+                attn_mask=jnp.ones((1, L), jnp.int32),
+                trailing=jnp.zeros((1, 16, cfg.hidden_size), dtype),
+                trailing_len=16, tts_pad=pad, max_frames=frames_per)
+
+        for i in range(slots):      # warmup: compile staging/serve shapes
+            engine.submit(make_req(10_000 + i))
+        engine.run_until_drained()
+        for i in range(n_req):
+            engine.submit(make_req(i))
+        t0 = time.time()
+        done = engine.run_until_drained()
+        wall = time.time() - t0
+        serving_rtf = sum(c.codes.shape[0] for c in done) * 0.08 / wall
+
+    extra = {
+        "talker_decode_rtf": round(talker_rtf, 3),
+        "first_packet_p50_ms": round(p50_ms, 1),
+        "first_packet_latencies_ms": [round(x, 1) for x in latencies],
+        "first_packet_vs_baseline": round(100.0 / p50_ms, 3),
+    }
+    if serving_rtf is not None:
+        extra["serving_rtf_16slots"] = round(serving_rtf, 2)
     print(json.dumps({
         "metric": "e2e_rtf_1b7_batch%d%s" % (
             B, "_int8" if quant == "int8" else ""),
         "value": round(e2e_rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(e2e_rtf / 10.0, 3),
-        "extra": {
-            "talker_decode_rtf": round(talker_rtf, 3),
-            "first_packet_p50_ms": round(p50_ms, 1),
-            "first_packet_latencies_ms": [round(x, 1) for x in latencies],
-            "first_packet_vs_baseline": round(100.0 / p50_ms, 3),
-        },
+        "extra": extra,
     }))
 
 
