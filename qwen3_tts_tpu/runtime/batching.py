@@ -204,12 +204,13 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
     )
 
 
-def _install_one(state: SlotState) -> SlotState:
-    """Move one staged request into the first free slot (device-side
-    admission). No-op (via lax.cond) when no slot is free or nothing is
-    staged."""
-    free = ~state.active
-    can = jnp.any(free) & jnp.any(state.staged_valid)
+def _install_all(state: SlotState) -> SlotState:
+    """Install staged requests into free slots until either runs out
+    (device-side admission). A while_loop, so idle ticks pay one predicate
+    and busy ticks install every admissible request with no unroll cost."""
+
+    def can_install(st: SlotState):
+        return jnp.any(~st.active) & jnp.any(st.staged_valid)
 
     def do(st: SlotState) -> SlotState:
         slot = jnp.argmax(~st.active).astype(jnp.int32)
@@ -262,7 +263,7 @@ def _install_one(state: SlotState) -> SlotState:
             staged_valid=st.staged_valid.at[ridx].set(False),
         )
 
-    return jax.lax.cond(can, do, lambda st: st, state)
+    return jax.lax.while_loop(can_install, do, state)
 
 
 def _decoder_stack_scatter(stacked: Params, norm: Params, dims: StackDims,
@@ -344,8 +345,9 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
                      installs_per_tick: int = 1
                      ) -> Tuple[SlotState, jax.Array, jax.Array, jax.Array,
                                 jax.Array]:
-    """Advance every slot one frame, after installing up to
-    `installs_per_tick` staged requests into free slots.
+    """Advance every slot one frame, after installing every installable
+    staged request into free slots (`installs_per_tick=0` disables installs
+    for this step; any other value means "all").
 
     `attend_len` is a static host-chosen bucket bounding the attended KV
     window (covers the longest live slot).
@@ -353,8 +355,8 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
     Returns (state, frames (B, Q), emit (B,) bool, req_id (B,), finished (B,)
     bool — slots that consumed their final tick this step).
     """
-    for _ in range(installs_per_tick):
-        state = _install_one(state)
+    if installs_per_tick != 0:
+        state = _install_all(state)
 
     eos = cfg.codec_eos_token_id
     B = state.code0.shape[0]
@@ -553,6 +555,8 @@ class ContinuousBatchingEngine:
         # device ((aux, ticks) FIFO) — synced one chunk behind under load
         self._unprocessed: deque = deque()
         self._ticks_in_flight = 0
+        from ..utils.metrics import global_metrics
+        self.metrics = global_metrics()
 
     def _pad_fn(self, T: int, Tt_in: int):
         """Jitted per-(T, Tt_in) request padding — runs on device so request
@@ -576,6 +580,7 @@ class ContinuousBatchingEngine:
         return fn
 
     def submit(self, req: Request) -> None:
+        self.metrics.count("engine.submits")
         T = req.inputs_embeds.shape[1]
         if T > self.prefill_bucket:
             raise ValueError(
@@ -590,9 +595,20 @@ class ContinuousBatchingEngine:
                              req.max_frames))
 
     def _stage_pending(self) -> int:
+        """Stage as many pending requests as there are free pool rows,
+        in batches of at most 16 (pow2 buckets -> a small, warmable set of
+        compiled staging-prefill shapes)."""
+        total = 0
+        while True:
+            n = self._stage_batch()
+            total += n
+            if n == 0:
+                return total
+
+    def _stage_batch(self) -> int:
         free_rows = [k for k in range(self.staging_rows)
                      if k not in self.staged_rows_busy]
-        n = min(len(self.pending), len(free_rows))
+        n = min(len(self.pending), len(free_rows), 16)
         if n == 0:
             return 0
         Nb = 1 << (n - 1).bit_length()   # pow2 bucket => few compiled shapes
@@ -659,6 +675,10 @@ class ContinuousBatchingEngine:
             attend_len=attend, installs_per_tick=self.installs_per_tick)
         self._unprocessed.append((aux, ticks))
         self._ticks_in_flight += ticks
+        self.metrics.count("engine.chunks")
+        self.metrics.count("engine.ticks", ticks)
+        self.metrics.gauge("engine.queue_depth", len(self.pending))
+        self.metrics.gauge("engine.attend_len", attend)
 
     def _process_oldest(self) -> List[Completion]:
         """Sync the oldest in-flight chunk's aux and attribute its frames."""
@@ -666,8 +686,10 @@ class ContinuousBatchingEngine:
             return []
         aux, ticks = self._unprocessed.popleft()
         self._ticks_in_flight -= ticks
+        with self.metrics.time("engine.aux_sync_s"):
+            aux_np = np.asarray(aux)
         frames, emit, req_id, finished, staged_valid, t_dev = unpack_chunk_aux(
-            np.asarray(aux), self.num_slots, ticks,
+            aux_np, self.num_slots, ticks,
             self.cfg.num_code_groups, self.state.staged_valid.shape[0])
         completions: List[Completion] = []
         order = np.argwhere(emit | finished)
@@ -686,6 +708,10 @@ class ContinuousBatchingEngine:
         self.staged_rows_busy = {k for k in self.staged_rows_busy
                                  if staged_valid[k]}
         self.max_live_t = int(t_dev.max()) if self.frames_acc else 0
+        self.metrics.count("engine.frames", float(emit.sum()))
+        self.metrics.count("engine.completions", len(completions))
+        self.metrics.gauge("engine.slot_utilization",
+                           float(emit.mean()) if emit.size else 0.0)
         return completions
 
     def _remaining_upper(self) -> int:

@@ -144,12 +144,17 @@ class StreamingSession:
             wav = np.asarray(wav_dev)              # one D2H sync per packet
             active_np = np.asarray(active)
 
+            latency = time.time() - t_start
+            if emitted == T0:
+                from ..utils.metrics import global_metrics
+
+                global_metrics().observe("stream.first_packet_s", latency)
             yield StreamPacket(
                 wav=wav.astype(np.float32),
                 frame_start=emitted - T0,
                 frame_count=k,
                 active_frames=active_np.sum(axis=1),
-                latency_s=time.time() - t_start,
+                latency_s=latency,
             )
             emitted += k
             if bool(np.asarray(state.done).all()):
