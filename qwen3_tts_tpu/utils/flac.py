@@ -11,7 +11,11 @@ decorrelation, and wasted bits.
 Decoding is numpy-vectorized where the format allows (batched remainder-bit
 gathers per Rice partition; `np.searchsorted` over one-bit positions for the
 unary quotients), so a few seconds of reference audio decodes in well under a
-second without native code.
+second without native code.  The strictly sequential loops (Rice symbols,
+predictor reconstruction, fixed-width reads) additionally have a native C
+fast path (native/flac_fast.c, built on first use by utils/native.py); the
+Python implementations remain the always-available fallback and the parity
+oracle (`QWEN3_TTS_NO_NATIVE=1` forces them).
 
 The encoder (`write_flac`) emits verbatim or fixed-order-1 Rice frames; it
 exists so tests can round-trip the decoder without shipping binary fixtures.
@@ -68,13 +72,41 @@ def _crc16(data: bytes) -> int:
     return c
 
 
+def _native_lib():
+    """The C hot-loop library, or None (env QWEN3_TTS_NO_NATIVE=1 forces
+    the pure-Python path)."""
+    import os
+
+    if os.environ.get("QWEN3_TTS_NO_NATIVE") == "1":
+        return None
+    from .native import flac_fast
+
+    return flac_fast()
+
+
 class _BitReader:
     """Bit reader over a numpy uint8 bit array (MSB-first)."""
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.raw = np.frombuffer(data, np.uint8)
+        self.bits = np.unpackbits(self.raw)
         self.ones = np.flatnonzero(self.bits)  # for O(log n) unary scans
         self.pos = 0
+        self.lib = _native_lib()
+
+    def _c_call(self, fn, n: int, arg: int) -> Optional[np.ndarray]:
+        """Run a native (buf, nbits, &bitpos, n, arg, out) -> rc loop."""
+        import ctypes
+
+        out = np.empty(n, np.int64)
+        bitpos = ctypes.c_size_t(self.pos)
+        rc = fn(self.raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(self.bits), ctypes.byref(bitpos), n, arg,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if rc != 0:
+            raise ValueError("FLAC: ran off bitstream (native)")
+        self.pos = bitpos.value
+        return out
 
     def read(self, n: int) -> int:
         if n == 0:
@@ -137,6 +169,8 @@ def _decode_rice_partition(br: _BitReader, n: int, k: int) -> np.ndarray:
     """
     if n <= 0:
         return np.zeros(0, np.int64)
+    if br.lib is not None:
+        return br._c_call(br.lib.flac_rice_decode, n, k)
     ones, bits = br.ones, br.bits
     start0 = br.pos
     stops = np.empty(n, np.int64)
@@ -169,6 +203,44 @@ def _decode_rice_partition(br: _BitReader, n: int, k: int) -> np.ndarray:
     return (u >> 1) ^ -(u & 1)  # zigzag -> signed
 
 
+def _read_signed_array(br: _BitReader, n: int, bits: int) -> np.ndarray:
+    """n fixed-width signed values (verbatim / escaped partitions)."""
+    if n <= 0 or bits == 0:
+        return np.zeros(n, np.int64)
+    if br.lib is not None:
+        return br._c_call(br.lib.flac_read_signed, n, bits)
+    out = np.empty(n, np.int64)
+    for i in range(n):
+        out[i] = br.read_signed(bits)
+    return out
+
+
+def _predictor_restore(br: _BitReader, warm: np.ndarray, resid: np.ndarray,
+                       coeffs, shift: int, block_size: int) -> np.ndarray:
+    """Reconstruct samples from warm-up + residual under an order-N
+    predictor (shared by FIXED and LPC subframes)."""
+    order = len(warm)
+    out = np.empty(block_size, np.int64)
+    out[:order] = warm
+    if order == 0:
+        out[:] = resid
+        return out
+    if br.lib is not None:
+        import ctypes
+
+        out[order:] = resid
+        c = np.asarray(coeffs, np.int32)
+        br.lib.flac_lpc_restore(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), block_size,
+            order, c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), shift)
+        return out
+    c = np.asarray(coeffs, np.int64)
+    for i in range(order, block_size):
+        pred = int(np.dot(c, out[i - order:i][::-1]))
+        out[i] = (pred >> shift) + resid[i - order]
+    return out
+
+
 def _read_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
@@ -185,10 +257,7 @@ def _read_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
         k = br.read(plen)
         if k == escape:
             nbits = br.read(5)
-            vals = np.empty(n, np.int64)
-            for i in range(n):
-                vals[i] = br.read_signed(nbits) if nbits else 0
-            out.append(vals)
+            out.append(_read_signed_array(br, n, nbits))
         else:
             out.append(_decode_rice_partition(br, n, k))
     return np.concatenate(out) if out else np.zeros(0, np.int64)
@@ -207,24 +276,16 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
         v = br.read_signed(bps)
         out = np.full(block_size, v, np.int64)
     elif stype == 1:  # VERBATIM
-        out = np.empty(block_size, np.int64)
-        for i in range(block_size):
-            out[i] = br.read_signed(bps)
+        out = _read_signed_array(br, block_size, bps)
     elif 8 <= stype <= 12:  # FIXED, order 0..4
         order = stype - 8
-        warm = np.array([br.read_signed(bps) for _ in range(order)], np.int64)
+        warm = _read_signed_array(br, order, bps)
         resid = _read_residual(br, block_size, order)
-        out = np.empty(block_size, np.int64)
-        out[:order] = warm
-        coeffs = FIXED_COEFFS[order]
-        for i in range(order, block_size):
-            pred = 0
-            for j, c in enumerate(coeffs):
-                pred += c * out[i - 1 - j]
-            out[i] = pred + resid[i - order]
+        out = _predictor_restore(br, warm, resid, FIXED_COEFFS[order],
+                                 0, block_size)
     elif stype >= 32:  # LPC, order 1..32
         order = stype - 31
-        warm = np.array([br.read_signed(bps) for _ in range(order)], np.int64)
+        warm = _read_signed_array(br, order, bps)
         precision = br.read(4) + 1
         if precision == 16:
             raise ValueError("FLAC: invalid LPC precision")
@@ -233,12 +294,7 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
             raise ValueError("FLAC: negative LPC shift")
         coeffs = [br.read_signed(precision) for _ in range(order)]
         resid = _read_residual(br, block_size, order)
-        out = np.empty(block_size, np.int64)
-        out[:order] = warm
-        c = np.array(coeffs, np.int64)
-        for i in range(order, block_size):
-            pred = int(np.dot(c, out[i - order:i][::-1])) >> shift
-            out[i] = pred + resid[i - order]
+        out = _predictor_restore(br, warm, resid, coeffs, shift, block_size)
     else:
         raise ValueError(f"FLAC: reserved subframe type {stype}")
 

@@ -113,3 +113,25 @@ def test_flac_cross_check_soundfile(tmp_path):
     got, sr = read_flac(path)
     assert sr == 24000
     np.testing.assert_allclose(got, want, atol=1.0 / 32768)
+
+
+def test_flac_native_matches_python(tmp_path, monkeypatch):
+    """The C hot loops (native/flac_fast.c) must be bit-identical to the
+    pure-Python bitstream path on all subframe types we can emit."""
+    from qwen3_tts_tpu.utils import flac as flac_mod
+    from qwen3_tts_tpu.utils.native import flac_fast
+
+    if flac_fast() is None:
+        pytest.skip("no C compiler available")
+
+    x = _speechlike(9000, 2, seed=7)
+    for mode in ("verbatim", "fixed1"):
+        path = str(tmp_path / f"n_{mode}.flac")
+        flac_mod.write_flac(path, x, 24000, mode=mode)
+
+        got_native, srn = flac_mod.read_flac(path)
+        monkeypatch.setenv("QWEN3_TTS_NO_NATIVE", "1")
+        got_python, srp = flac_mod.read_flac(path)
+        monkeypatch.delenv("QWEN3_TTS_NO_NATIVE")
+        assert srn == srp == 24000
+        np.testing.assert_array_equal(got_native, got_python)
