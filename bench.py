@@ -61,6 +61,10 @@ def main():
     from qwen3_tts_tpu.weights import quantize_talker_params
 
     cfg = TALKER_1B7
+    if os.environ.get("BENCH_MODEL", "1b7") == "0b6":
+        from qwen3_tts_tpu.utils.testing import TALKER_0B6
+
+        cfg = TALKER_0B6
     B = int(os.environ.get("BENCH_BATCH", "16"))
     M = int(os.environ.get("BENCH_FRAMES", "64"))  # max_new_tokens
     L = 64                                          # prefill length
