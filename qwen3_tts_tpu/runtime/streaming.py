@@ -43,7 +43,6 @@ class StreamingConfig:
     warmup_schedule: Tuple[int, ...] = (1, 2, 4, 8, 16)
     steady_chunk: int = 25
     vocoder_left_context: int = 25
-    use_pallas_attention: bool = False
 
 
 @dataclass
@@ -133,8 +132,7 @@ class StreamingSession:
             attend = min(S, ((needed + 255) // 256) * 256)
             state, frames, active = decode_chunk(
                 self.talker_params, cfg, gen_cfg, const, state, k,
-                attend_len=attend,
-                use_pallas_attention=self.stream_cfg.use_pallas_attention)
+                attend_len=attend)
             codes_buf = jax.lax.dynamic_update_slice(
                 codes_buf, jnp.swapaxes(frames, 1, 2), (0, 0, emitted))
 
