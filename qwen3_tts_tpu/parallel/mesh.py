@@ -109,3 +109,48 @@ def _validate_spec(x, spec: P, mesh: Mesh) -> P:
 
 def batch_spec() -> P:
     return P("dp")
+
+
+def shard_slot_state(state, mesh: Mesh):
+    """Place a serving SlotState onto the mesh with slots (and staging rows)
+    sharded over "dp" — one continuous-batching engine spanning multiple
+    chips, each holding its share of the slot KV cache.
+
+    Cross-shard scheduling (free-slot argmax in the install loop, the packed
+    aux concatenation) lowers to GSPMD collectives; decode itself stays
+    per-shard local. Axes not divisible by the dp size fall back to
+    replication (guarded per leaf).
+    """
+    # fields with a leading layer axis shard the SECOND dim (slots/rows);
+    # everything else shards the first, except the replicated pad embedding
+    layer_leading = {"staged_k", "staged_v", "staged_k_scale",
+                     "staged_v_scale"}
+    replicated = {"tts_pad"}
+
+    def spec_for(name: str, x) -> P:
+        if name in replicated:
+            return P()
+        if name == "cache":  # handled per sub-leaf below
+            return None
+        if name in layer_leading:
+            return P(None, "dp")
+        return P("dp")
+
+    def place(x, spec):
+        if x is None:
+            return None
+        return jax.device_put(x, NamedSharding(mesh,
+                                               _validate_spec(x, spec, mesh)))
+
+    out = {}
+    for name in state._fields:
+        x = getattr(state, name)
+        if name == "cache":
+            out[name] = type(x)(*[
+                None if leaf is None else place(leaf, P(None, "dp"))
+                for leaf in x])
+        elif x is None:
+            out[name] = None
+        else:
+            out[name] = place(x, spec_for(name, x))
+    return type(state)(**out)

@@ -518,7 +518,8 @@ class ContinuousBatchingEngine:
                  ticks_per_sync: int = 8,
                  prefill_bucket: Optional[int] = None,
                  installs_per_tick: int = 4,
-                 staging_rows: Optional[int] = None):
+                 staging_rows: Optional[int] = None,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
@@ -540,6 +541,12 @@ class ContinuousBatchingEngine:
                                      dtype, prefill_bucket=self.prefill_bucket,
                                      kv_quant=gen_cfg.kv_quant,
                                      staging_rows=self.staging_rows)
+        if mesh is not None:
+            # one engine spanning chips: slots/staging sharded over "dp"
+            # (pass params already placed via shard_talker_params)
+            from ..parallel.mesh import shard_slot_state
+
+            self.state = shard_slot_state(self.state, mesh)
         self.key = jax.random.PRNGKey(seed)
         self.ticks_per_sync = ticks_per_sync
         self.installs_per_tick = installs_per_tick

@@ -95,3 +95,52 @@ def test_param_specs_follow_tp_plan():
     assert specs["layers"]["mlp"]["down_proj"]["weight"] == P(None, None, "tp")
     assert specs["codec_head"] == P("tp", None)
     assert specs["code_predictor"]["proj"] is None
+
+
+@requires_reference
+def test_sharded_engine_matches_unsharded():
+    """One ContinuousBatchingEngine spanning a dp=4 mesh (slots + staging
+    rows sharded) must produce exactly the unsharded engine's outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.parallel.mesh import make_mesh, shard_talker_params
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_batching import _setup
+    from tests.test_talker import _random_inputs
+
+    if not _devices_ok(4):
+        pytest.skip("needs 4 devices")
+
+    params, cfg, gen_cfg = _setup(M=6)
+    embeds, mask, trailing, pad = _random_inputs(77)
+
+    def run(engine):
+        for b in range(2):
+            n = int(mask[b].sum())
+            engine.submit(Request(
+                request_id=b,
+                inputs_embeds=embeds[b:b + 1, -n:],
+                attn_mask=mask[b:b + 1, -n:],
+                trailing=trailing[b:b + 1],
+                trailing_len=trailing.shape[1],
+                tts_pad=pad,
+                max_frames=gen_cfg.max_new_tokens - 1))
+        done = engine.run_until_drained()
+        return {c.request_id: np.asarray(c.codes) for c in done}
+
+    base = run(ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=4,
+                                        max_len=64, max_trailing=8,
+                                        dtype=jnp.float32))
+
+    mesh = make_mesh(dp=4, tp=1)
+    sharded_params = shard_talker_params(params, mesh)
+    with mesh:
+        got = run(ContinuousBatchingEngine(sharded_params, cfg, gen_cfg,
+                                           num_slots=4, max_len=64,
+                                           max_trailing=8, dtype=jnp.float32,
+                                           mesh=mesh))
+    assert set(got) == set(base)
+    for rid in base:
+        np.testing.assert_array_equal(got[rid], base[rid])
