@@ -78,12 +78,16 @@ def main():
     if quant == "int8":
         params = quantize_talker_params(params)
     fused = os.environ.get("BENCH_FUSED", "1" if quant == "int8" else "0") == "1"
+    # BENCH_KV=int8 additionally quantizes the KV cache (wins at long
+    # generations; see docs/DESIGN.md measurements)
+    kv_quant = os.environ.get("BENCH_KV", "") in ("1", "int8")
     gen_cfg = GenerationConfig(
         max_new_tokens=M,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
                                 repetition_penalty=1.05),
         subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9),
         fused_subtalker=fused,
+        kv_quant=kv_quant,
     )
     dec_cfg = CodecV2DecoderConfig(num_quantizers=cfg.num_code_groups)
     dec_params = random_vocoder_params(dec_cfg, jax.random.PRNGKey(1))
