@@ -7,6 +7,7 @@ squeeze-excitation, attentive statistics pooling, final 1x1 conv to enc_dim.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict
 
 import jax
@@ -121,12 +122,18 @@ def speaker_encoder_forward(params: Params, cfg: SpeakerEncoderConfig,
     return h[..., 0]
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def extract_speaker_embedding(params: Params, cfg: SpeakerEncoderConfig,
                               audio: jax.Array) -> jax.Array:
     """24 kHz mono waveform (T,) -> (enc_dim,) speaker embedding.
 
     Reference: extract_speaker_embedding (modeling_qwen3_tts.py:1940-1954):
     mel(n_fft 1024, 128 bins, hop 256, win 1024, fmax 12000) -> encoder.
+
+    Jitted per audio length (the stats pooling is over exact frames, so
+    padding/bucketing would change the embedding — reference semantics keep
+    the exact length; eager dispatch of the ~50-op ECAPA stack is far worse
+    than one compile per distinct reference-audio length).
     """
     from ..ops.stft import mel_spectrogram
 
