@@ -20,6 +20,7 @@ TTS (quantize_speech, reference modeling...v1.py:1337-1340).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -70,6 +71,7 @@ def _attention_block(block: Params, x: jax.Array, mask_bias: jax.Array,
     return x + m
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def encode_mel_to_codes(params: Params, cfg: WhisperVQEncoderConfig,
                         mel: jax.Array) -> jax.Array:
     """One sample. mel: (n_mels, T_mel) with T_mel a multiple of
