@@ -197,3 +197,53 @@ def test_engine_matches_oneshot_int8():
     assert set(got) == {0, 1}
     for b in range(2):
         np.testing.assert_array_equal(got[b], want[b])
+
+
+@requires_reference
+def test_engine_burst_exceeding_staging_rows():
+    """A burst larger than slots AND staging rows: requests queue, stage in
+    waves, install mid-chunk, and every completion matches its one-shot
+    generation (exercises row blocking + pipelined aux syncs + varied frame
+    budgets)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from qwen3_tts_tpu.runtime.generate import generate_frames
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    embeds, mask, trailing, pad = _random_inputs(44)
+    B_avail = embeds.shape[0]
+
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32, ticks_per_sync=3,
+                                      staging_rows=3)
+    n_req = 7
+    budgets = [7, 3, 5, 7, 2, 6, 4]
+    for i in range(n_req):
+        b = i % B_avail
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        engine.submit(Request(
+            request_id=i,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+            attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=budgets[i]))
+    done = engine.run_until_drained()
+    assert len(done) == n_req
+
+    # oracle: per-sample one-shot generation truncated to each budget
+    out = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
+                          jax.random.PRNGKey(0))
+    codes, lens = np.asarray(out.codes), np.asarray(out.lengths)
+    for c in done:
+        b = c.request_id % B_avail
+        want = codes[b, :min(lens[b], budgets[c.request_id])]
+        np.testing.assert_array_equal(np.asarray(c.codes), want)
