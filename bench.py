@@ -102,7 +102,20 @@ def main():
         return generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
                                pad, key)
 
-    vocode = jax.jit(lambda p, codes: decode_frames(p, dec_cfg, codes))
+    from qwen3_tts_tpu.models.codec12.decoder import chunked_decode
+
+    if M <= 300:
+        vocode = jax.jit(lambda p, codes: decode_frames(p, dec_cfg, codes))
+    else:
+        # long generations vocode in chunks with 25-frame left context (the
+        # reference's chunked_decode semantics); bf16 activations and a
+        # batch-scaled chunk keep the conv stack inside HBM at B=16
+        # (one full-length fp32 program at B=16 x 512 frames needs ~16G)
+        chunk = max(50, 1600 // max(1, B))
+
+        def vocode(p, codes):
+            return chunked_decode(p, dec_cfg, codes, chunk_size=chunk,
+                                  dtype=jnp.bfloat16)
 
     # ---- (a) talker-only decode RTF, B=16 ----
     _sync(talker_run(jax.random.PRNGKey(2)).codes)  # warmup / compile
