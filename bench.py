@@ -7,7 +7,10 @@ checkpoints exist in-image; the compute graph is the production one):
      frame talker step + nested 15-step sub-talker + sampling), B=16.
   b) e2e_rtf (HEADLINE)  — (a) plus the full-size 12Hz vocoder decoding the
      generated codes to waveform, B=16.  One frame = 80 ms of audio
-     (12.5 Hz codec, configuration...v2.py:148-151).
+     (12.5 Hz codec, configuration...v2.py:148-151).  The waveform ships
+     to the host as int16 PCM (converted on device); extra.e2e_compute_rtf
+     reports the same run synced on a scalar checksum, isolating chip
+     throughput from this environment's ~25 MB/s device tunnel.
   c) first_packet_p50_ms — p50 wall time to the first audio packet of a
      batch-1 StreamingSession (talker warmup chunk + first vocoder chunk),
      the README.md:54 "~97 ms" dual-track claim.
@@ -102,10 +105,15 @@ def main():
         return generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
                                pad, key)
 
-    from qwen3_tts_tpu.models.codec12.decoder import chunked_decode
+    from qwen3_tts_tpu.models.codec12.decoder import chunked_decode, to_pcm16
 
+    # audio ships as int16 PCM (the delivery format; converted on device):
+    # this environment's TPU tunnel moves ~25 MB/s, so the fp32 waveform
+    # transfer would otherwise dominate the measurement (production hosts
+    # move it over PCIe in ~1 ms).
     if M <= 300:
-        vocode = jax.jit(lambda p, codes: decode_frames(p, dec_cfg, codes))
+        vocode = jax.jit(
+            lambda p, codes: to_pcm16(decode_frames(p, dec_cfg, codes)))
     else:
         # long generations vocode in chunks with 25-frame left context (the
         # reference's chunked_decode semantics); bf16 activations and a
@@ -114,8 +122,8 @@ def main():
         chunk = max(50, 1600 // max(1, B))
 
         def vocode(p, codes):
-            return chunked_decode(p, dec_cfg, codes, chunk_size=chunk,
-                                  dtype=jnp.bfloat16)
+            return to_pcm16(chunked_decode(p, dec_cfg, codes, chunk_size=chunk,
+                                           dtype=jnp.bfloat16))
 
     # ---- (a) talker-only decode RTF, B=16 ----
     _sync(talker_run(jax.random.PRNGKey(2)).codes)  # warmup / compile
@@ -138,6 +146,21 @@ def main():
     e2e_wall = time.time() - t0
     frames = int(lengths.sum())
     e2e_rtf = frames * 0.08 / e2e_wall
+
+    # compute-only variant: sync a scalar checksum instead of the waveform,
+    # isolating chip throughput from this environment's ~25 MB/s tunnel
+    def checksum_run(key):
+        out = talker_run(key)
+        lengths = np.asarray(out.lengths)
+        chk = jnp.sum(vocode(dec_params,
+                             jnp.swapaxes(out.codes, 1, 2)).astype(jnp.float32))
+        _sync(chk)
+        return int(lengths.sum())
+
+    checksum_run(jax.random.PRNGKey(5))  # warm the checksum/astype programs
+    t0 = time.time()
+    frames_c = checksum_run(jax.random.PRNGKey(6))
+    e2e_compute_rtf = frames_c * 0.08 / (time.time() - t0)
 
     # ---- (c) p50 first-packet latency, streaming session, B=1 ----
     Bs, Ls = 1, 48
@@ -192,6 +215,7 @@ def main():
 
     extra = {
         "talker_decode_rtf": round(talker_rtf, 3),
+        "e2e_compute_rtf": round(e2e_compute_rtf, 3),
         "first_packet_p50_ms": round(p50_ms, 1),
         "first_packet_latencies_ms": [round(x, 1) for x in latencies],
         "first_packet_vs_baseline": round(100.0 / p50_ms, 3),

@@ -221,6 +221,15 @@ def decode_frames(params: Params, cfg: CodecV2DecoderConfig,
     return jnp.clip(wav, -1.0, 1.0)
 
 
+def to_pcm16(wav: jax.Array) -> jax.Array:
+    """Float waveform in [-1, 1] -> int16 PCM, on device.
+
+    Same math as utils/audio.write_wav's host-side conversion; doing it on
+    device quarters the fp32 device->host transfer for served audio (PCM16
+    is the delivery format — the reference writes 16-bit WAVs)."""
+    return jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+
 # one compiled program per (chunk shape, cfg); eager dispatch of the ~600-op
 # conv stack costs tens of seconds of per-op mini-compiles on first use
 decode_frames_jit = partial(jax.jit,

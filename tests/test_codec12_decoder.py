@@ -216,3 +216,15 @@ def test_full_roundtrip_parity_vs_reference_model():
     for got, want in zip(wavs, want_wavs):
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-2)
+
+
+def test_to_pcm16_matches_host_wav_conversion():
+    """Device-side PCM16 conversion == the WAV writer's host-side math."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.models.codec12.decoder import to_pcm16
+
+    wav = np.linspace(-1.3, 1.3, 4097, dtype=np.float32)  # incl. clip range
+    got = np.asarray(to_pcm16(jnp.asarray(wav)))
+    want = np.round(np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
+    np.testing.assert_array_equal(got, want)
