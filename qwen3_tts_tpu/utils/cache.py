@@ -12,16 +12,47 @@ from __future__ import annotations
 import os
 
 
-def enable_persistent_cache(path: str | None = None) -> str:
+def host_cpu_key() -> str:
+    """Short key of this host's CPU feature set.
+
+    XLA:CPU AOT cache entries embed the *compile* machine's features and can
+    SIGILL when loaded on a host with fewer features (observed: a cache
+    entry compiled with +prefer-no-gather loaded on a host without it, with
+    an explicit SIGILL warning).  CPU caches are therefore keyed per
+    feature set; TPU entries are host-independent and stay shared."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
+def enable_persistent_cache(path: str | None = None,
+                            cpu: bool | None = None) -> str:
     """Point jax's persistent compilation cache at `path` (default:
-    <repo>/.jax_cache) at runtime. Safe to call multiple times."""
+    <repo>/.jax_cache, or <repo>/.jax_cache/cpu-<featurekey> for CPU-backend
+    processes). Safe to call multiple times.
+
+    cpu: True if this process runs the CPU backend (tests, the multichip
+    dryrun subprocess); default: the QWEN3_TTS_TPU_FORCE_CPU env var."""
     import jax
 
+    if cpu is None:
+        cpu = bool(os.environ.get("QWEN3_TTS_TPU_FORCE_CPU"))
     if path is None:
         path = os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache"))
+    if cpu and os.path.basename(path) != "cpu-" + host_cpu_key():
+        path = os.path.join(path, "cpu-" + host_cpu_key())
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return path

@@ -23,7 +23,8 @@ if REPO_ROOT not in sys.path:
 
 # Persistent compilation cache across test runs. NOTE: must be set via
 # jax.config (the env var is read before sitecustomize's jax import and is
-# therefore a no-op in this container).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(REPO_ROOT, ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# therefore a no-op in this container). cpu=True keys the cache dir by the
+# host's CPU feature set — XLA:CPU AOT entries SIGILL on feature mismatch.
+from qwen3_tts_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(cpu=True)
