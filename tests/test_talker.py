@@ -196,6 +196,35 @@ def test_sampling_warpers_match_hf():
     np.testing.assert_array_equal(np.isinf(want), got <= NEG_INF / 2)
 
 
+def test_sample_topk_fast_path_distribution():
+    """The top-k subset sampler (sampling.py fast path) draws from exactly
+    the masked-softmax distribution of the slow warper path."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import (SamplingParams, apply_top_k,
+                                            apply_top_p, process_and_sample)
+
+    rng = np.random.default_rng(1)
+    V, k, p, temp = 64, 8, 0.8, 0.9
+    logits = jnp.asarray(rng.normal(0, 2, size=(1, V)).astype(np.float32))
+    params = SamplingParams(do_sample=True, top_k=k, top_p=p,
+                            temperature=temp, repetition_penalty=1.0)
+
+    # exact target distribution via the slow warpers
+    masked = apply_top_p(apply_top_k(logits / temp, k), p)
+    want = np.asarray(jax.nn.softmax(masked, axis=-1))[0]
+
+    n = 20000
+    keys = jax.random.split(jax.random.PRNGKey(0), n)
+    draws = jax.jit(jax.vmap(lambda key: process_and_sample(
+        logits, key, params)))(keys)
+    freq = np.bincount(np.asarray(draws).ravel(), minlength=V) / n
+
+    assert freq[want == 0].sum() == 0.0  # never samples a filtered token
+    np.testing.assert_allclose(freq, want, atol=0.015)
+
+
 @requires_reference
 def test_sliding_window_talker_parity():
     """use_sliding_window=True talker (optional config path, reference
