@@ -52,6 +52,17 @@ def _sync(tree):
         # unreliable on the axon backend
 
 
+_T0 = time.time()
+
+
+def _mark(label):
+    # section timestamps on stderr (BENCH_TRACE=0 silences); the JSON line on
+    # stdout stays the single driver-parsed artifact
+    if os.environ.get("BENCH_TRACE", "1") == "1":
+        print(f"[bench +{time.time() - _T0:7.1f}s] {label}", file=sys.stderr,
+              flush=True)
+
+
 def main():
     from qwen3_tts_tpu.config import CodecV2DecoderConfig
     from qwen3_tts_tpu.models.codec12.decoder import decode_frames
@@ -73,13 +84,18 @@ def main():
     L = 64                                          # prefill length
     dtype = jnp.bfloat16
 
-    params = random_talker_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    # default to the production serving configuration: weight-only int8
-    # (quantize="int8" in the public API); BENCH_QUANT=bf16 for the
-    # unquantized path.
+    _mark("start: make params")
+    # one jitted program for the whole fabrication: eager per-op dispatch on
+    # the tunneled axon backend costs ~1s/op (~220s for the 1.7B tree);
+    # the fused program executes in ~9s once its compile is cached
     quant = os.environ.get("BENCH_QUANT", "int8")
-    if quant == "int8":
-        params = quantize_talker_params(params)
+
+    @jax.jit
+    def _fabricate(key):
+        p = random_talker_params(cfg, key, dtype=dtype)
+        return quantize_talker_params(p) if quant == "int8" else p
+
+    params = _fabricate(jax.random.PRNGKey(0))
     fused = os.environ.get("BENCH_FUSED", "1" if quant == "int8" else "0") == "1"
     # BENCH_KV=int8 additionally quantizes the KV cache (wins at long
     # generations; see docs/DESIGN.md measurements)
@@ -93,7 +109,8 @@ def main():
         kv_quant=kv_quant,
     )
     dec_cfg = CodecV2DecoderConfig(num_quantizers=cfg.num_code_groups)
-    dec_params = random_vocoder_params(dec_cfg, jax.random.PRNGKey(1))
+    dec_params = jax.jit(
+        lambda key: random_vocoder_params(dec_cfg, key))(jax.random.PRNGKey(1))
 
     rng = jax.random.PRNGKey(1)
     embeds = (0.02 * jax.random.normal(rng, (B, L, cfg.hidden_size))).astype(dtype)
@@ -126,7 +143,9 @@ def main():
                                            dtype=jnp.bfloat16))
 
     # ---- (a) talker-only decode RTF, B=16 ----
+    _mark("talker warmup")
     _sync(talker_run(jax.random.PRNGKey(2)).codes)  # warmup / compile
+    _mark("talker measured run")
     t0 = time.time()
     out = talker_run(jax.random.PRNGKey(3))
     lengths = np.asarray(out.lengths)
@@ -137,7 +156,9 @@ def main():
 
     # ---- (b) end-to-end RTF: talker + full-size vocoder, B=16 ----
     codes_bqt = jnp.swapaxes(out.codes, 1, 2)  # (B, Q, T)
+    _mark("vocoder warmup")
     _sync(vocode(dec_params, codes_bqt))       # warmup / compile
+    _mark("e2e measured run")
     t0 = time.time()
     out = talker_run(jax.random.PRNGKey(4))
     lengths = np.asarray(out.lengths)
@@ -157,7 +178,9 @@ def main():
         _sync(chk)
         return int(lengths.sum())
 
+    _mark("checksum warmup")
     checksum_run(jax.random.PRNGKey(5))  # warm the checksum/astype programs
+    _mark("checksum measured run")
     t0 = time.time()
     frames_c = checksum_run(jax.random.PRNGKey(6))
     e2e_compute_rtf = frames_c * 0.08 / (time.time() - t0)
@@ -167,7 +190,15 @@ def main():
     s_embeds = (0.02 * jax.random.normal(rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
     s_mask = jnp.ones((Bs, Ls), jnp.int32)
     s_trailing = (0.02 * jax.random.normal(rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
-    session = StreamingSession(params, cfg, gen_cfg, dec_params, dec_cfg,
+    _mark("first-packet session")
+    # 16 frames suffice: the metric is the FIRST packet's latency; fewer
+    # chunk shapes = fewer one-time program loads on the remote service
+    # (measured ~22 s per (chunk, attend) shape pair at 1.7B)
+    fp_cfg = GenerationConfig(
+        max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
+        subtalker=gen_cfg.subtalker, fused_subtalker=fused,
+        kv_quant=kv_quant)
+    session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
                                StreamingConfig())
     iters = int(os.environ.get("BENCH_FP_ITERS", "3"))
     latencies = []
@@ -203,9 +234,11 @@ def main():
                 trailing=jnp.zeros((1, 16, cfg.hidden_size), dtype),
                 trailing_len=16, tts_pad=pad, max_frames=frames_per)
 
+        _mark("serving warmup")
         for i in range(slots):      # warmup: compile staging/serve shapes
             engine.submit(make_req(10_000 + i))
         engine.run_until_drained()
+        _mark("serving measured run")
         for i in range(n_req):
             engine.submit(make_req(i))
         t0 = time.time()
@@ -222,6 +255,7 @@ def main():
     }
     if serving_rtf is not None:
         extra["serving_rtf_16slots"] = round(serving_rtf, 2)
+    _mark("done")
     print(json.dumps({
         "metric": "e2e_rtf_1b7_batch%d%s" % (
             B, "_int8" if quant == "int8" else ""),

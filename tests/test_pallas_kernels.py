@@ -99,3 +99,83 @@ def test_pallas_decode_path_matches_xla_generation():
     np.testing.assert_array_equal(outs[True][1], outs[False][1])
     valid = outs[False][1]
     np.testing.assert_array_equal(outs[True][0][valid], outs[False][0][valid])
+
+
+def _want_prefill(q, k, v, start, sliding_window=None):
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.attention import attention, mask_to_bias
+
+    B, T = q.shape[0], q.shape[1]
+    # ok[b, i, j] = (j <= i) & (j >= start_b)
+    ok = (np.arange(T)[None, None, :] <= np.arange(T)[None, :, None]) & \
+         (np.arange(T)[None, None, :] >= start[:, None, None])
+    if sliding_window is not None:
+        ok &= np.arange(T)[None, None, :] > \
+            (np.arange(T)[None, :, None] - sliding_window)
+    bias = mask_to_bias(jnp.asarray(ok[:, None]))
+    return np.asarray(attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), bias))
+
+
+def test_flash_prefill_matches_xla():
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.pallas.prefill_attention import flash_prefill
+
+    rng = np.random.default_rng(2)
+    B, T, Hq, Hkv, D = 2, 160, 8, 4, 128
+    q = rng.normal(0, 1, size=(B, T, Hq, D)).astype(np.float32)
+    k = rng.normal(0, 1, size=(B, T, Hkv, D)).astype(np.float32)
+    v = rng.normal(0, 1, size=(B, T, Hkv, D)).astype(np.float32)
+    start = np.array([0, 37], np.int32)
+
+    want = _want_prefill(q, k, v, start)
+    got = np.asarray(flash_prefill(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(start),
+        block_q=64, block_k=64, interpret=True))
+    # left-padded rows emit zeros from the kernel; compare valid queries only
+    for b in range(B):
+        np.testing.assert_allclose(got[b, start[b]:], want[b, start[b]:],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_sliding_window_and_ragged_blocks():
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.pallas.prefill_attention import flash_prefill
+
+    rng = np.random.default_rng(3)
+    B, T, Hq, Hkv, D = 2, 100, 4, 2, 64   # T not a block multiple
+    q = rng.normal(0, 1, size=(B, T, Hq, D)).astype(np.float32)
+    k = rng.normal(0, 1, size=(B, T, Hkv, D)).astype(np.float32)
+    v = rng.normal(0, 1, size=(B, T, Hkv, D)).astype(np.float32)
+    start = np.array([5, 0], np.int32)
+
+    want = _want_prefill(q, k, v, start, sliding_window=24)
+    got = np.asarray(flash_prefill(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(start),
+        sliding_window=24, block_q=32, block_k=32, interpret=True))
+    for b in range(B):
+        np.testing.assert_allclose(got[b, start[b]:], want[b, start[b]:],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_flash_prefill_bf16():
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.pallas.prefill_attention import flash_prefill
+
+    rng = np.random.default_rng(4)
+    B, T, Hq, Hkv, D = 1, 128, 4, 2, 128
+    q = rng.normal(0, 1, size=(B, T, Hq, D)).astype(np.float32)
+    k = rng.normal(0, 1, size=(B, T, Hkv, D)).astype(np.float32)
+    v = rng.normal(0, 1, size=(B, T, Hkv, D)).astype(np.float32)
+    start = np.array([11], np.int32)
+
+    want = _want_prefill(q, k, v, start)
+    got = np.asarray(flash_prefill(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(start),
+        interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got[0, 11:], want[0, 11:], rtol=3e-2, atol=3e-2)
