@@ -176,12 +176,21 @@ def prepare_talker_params(params: Params, cfg: TalkerConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+# Prefill length from which the Pallas flash kernel replaces the dense XLA
+# attention (measured crossover on v5e: dense wins at T<=1024, ties at 2048
+# where it already materializes a multi-GB score tensor at B=16, flash wins
+# 3.2x at 4096).  Tests lower this to exercise the kernel at small shapes.
+FLASH_PREFILL_MIN_T = 2048
+
+
 def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
                   cos: jax.Array, sin: jax.Array, mask_bias: jax.Array,
                   cache: KVCache, offset,
                   attend_len: Optional[int] = None,
                   unroll: int = 1,
-                  window: Optional[Tuple[jax.Array, jax.Array]] = None
+                  window: Optional[Tuple[jax.Array, jax.Array]] = None,
+                  prefill_start: Optional[jax.Array] = None,
+                  prefill_window: Optional[int] = None
                   ) -> Tuple[jax.Array, KVCache]:
     """Run all layers. h: (B, T, hidden); mask_bias: (B, 1, T, S') additive
     where S' = attend_len or the full cache size.
@@ -197,6 +206,11 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
     """
     B, T, _ = h.shape
     use_pallas = window is not None and T == 1
+    # long prefills stream K/V blocks through the flash kernel instead of
+    # materializing the (B, Hkv, G, T, S) score tensor; `prefill_start` is
+    # the first valid (non-left-pad) slot per row
+    use_flash_prefill = (prefill_start is not None
+                         and T >= FLASH_PREFILL_MIN_T)
     pallas_interpret = jax.devices()[0].platform != "tpu"
 
     nq = dims.heads * dims.head_dim
@@ -252,7 +266,17 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
             vs_att = jax.lax.dynamic_slice(
                 cc.v_scale, (idx, 0, 0, 0), (1, B, S_att, dims.kv_heads))[0]
 
-        if use_pallas:
+        if use_flash_prefill:
+            from ..ops.pallas.prefill_attention import flash_prefill
+
+            # fresh K/V of this prefill == cache slots [0, T) (slots beyond
+            # are invalid and masked on the dense path anyway); with a
+            # quantized cache this path attends the UNquantized keys, which
+            # only tightens prefill numerics
+            o = flash_prefill(q, k, v, prefill_start,
+                              sliding_window=prefill_window,
+                              interpret=pallas_interpret)
+        elif use_pallas:
             from ..ops.pallas.decode_attention import decode_attention
 
             if quantized:
@@ -335,8 +359,12 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
     cos, sin = rope_tables(positions, inv_freq)
 
+    # first valid slot per row (left padding is contiguous by construction)
+    start = (T - jnp.sum(attn_mask, axis=-1)).astype(jnp.int32)
     h, cache = decoder_stack(params["layers"], params["norm"], dims,
-                             inputs_embeds, cos, sin, bias, cache, 0)
+                             inputs_embeds, cos, sin, bias, cache, 0,
+                             prefill_start=start,
+                             prefill_window=cfg.sliding_window)
     logits = matmul_t(h[:, -1].astype(jnp.float32), params["codec_head"])
     return logits, h, cache
 

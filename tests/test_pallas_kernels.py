@@ -179,3 +179,63 @@ def test_flash_prefill_bf16():
         jnp.asarray(v, jnp.bfloat16), jnp.asarray(start),
         interpret=True)).astype(np.float32)
     np.testing.assert_allclose(got[0, 11:], want[0, 11:], rtol=3e-2, atol=3e-2)
+
+
+def test_talker_prefill_flash_path_matches_dense(monkeypatch):
+    """talker_prefill with the flash kernel active (threshold lowered) must
+    match the dense-mask path: logits, hiddens, and KV cache writes."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import models
+    from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
+    from qwen3_tts_tpu.models import talker as talker_mod
+    from qwen3_tts_tpu.models.talker import (KVCache, StackDims,
+                                             talker_prefill)
+    from qwen3_tts_tpu.utils.testing import random_talker_params
+
+    cfg = TalkerConfig(
+        vocab_size=1152, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=32, text_hidden_size=128, text_vocab_size=256,
+        num_code_groups=4,
+        code_predictor_config=CodePredictorConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, num_code_groups=4),
+    )
+    params = random_talker_params(cfg, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    dims = StackDims.from_talker(cfg)
+    B, T, S = 2, 40, 48
+    embeds = 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                     (B, T, cfg.hidden_size))
+    mask = (np.arange(T)[None, :] >= np.array([[0], [7]])).astype(np.int32)
+    mask = jnp.asarray(mask)
+
+    def run():
+        cache = KVCache.zeros(cfg.num_hidden_layers, B, S, dims.kv_heads,
+                              dims.head_dim, dtype=jnp.float32)
+        return talker_prefill(params, cfg, embeds, mask, cache)
+
+    logits_d, h_d, cache_d = run()
+    monkeypatch.setattr(talker_mod, "FLASH_PREFILL_MIN_T", 8)
+    logits_f, h_f, cache_f = run()
+
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_d),
+                               rtol=1e-4, atol=1e-4)
+    # padded rows differ (flash emits zeros there; dense emits garbage
+    # attention of fully-masked rows) — both are discarded; compare valid
+    for b in range(B):
+        lo = int(T - np.asarray(mask).sum(axis=1)[b])
+        np.testing.assert_allclose(np.asarray(h_f)[b, lo:],
+                                   np.asarray(h_d)[b, lo:],
+                                   rtol=1e-4, atol=1e-4)
+    # cache slots of padded positions hold garbage on both paths (layer>0
+    # inputs differ at padded rows) and are never attended (kv_valid False);
+    # compare the valid slots only
+    for b in range(B):
+        lo = int(T - np.asarray(mask).sum(axis=1)[b])
+        np.testing.assert_allclose(np.asarray(cache_f.k)[:, b, lo:T],
+                                   np.asarray(cache_d.k)[:, b, lo:T],
+                                   rtol=1e-4, atol=1e-4)
