@@ -218,7 +218,8 @@ def main():
         slots, n_req, frames_per = 16, 32, 50
         eng_cfg = GenerationConfig(
             max_new_tokens=frames_per + 1, sampling=gen_cfg.sampling,
-            subtalker=gen_cfg.subtalker, fused_subtalker=fused)
+            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
+            kv_quant=kv_quant)
         engine = ContinuousBatchingEngine(
             params, cfg, eng_cfg, num_slots=slots,
             max_len=L + frames_per + 8, max_trailing=32, dtype=dtype,

@@ -425,7 +425,7 @@ def code_predictor_frame_dispatch(params: Params, cfg: TalkerConfig,
     megakernel (ops/pallas/subtalker.py — weights VMEM-resident, W8A8).
 
     The fused path needs int8 params and a jit wrapped with
-    `runtime.jit_options.DECODE_COMPILER_OPTIONS` (the kernel keeps ~94 MB
+    `runtime.jit_options.decode_compiler_options()` (the kernel keeps ~94 MB
     of weights in VMEM, above XLA's default scoped-vmem limit)."""
     if not fused:
         return code_predictor_frame(params, cfg, past_hidden, code0_embed,

@@ -40,7 +40,7 @@ from ..ops.rope import apply_rope, default_inv_freq, rope_tables
 from ..ops.sampling import process_and_sample
 from ..weights import matmul_t, weight_rows
 from .generate import GenerationConfig, suppress_mask_for
-from .jit_options import DECODE_COMPILER_OPTIONS
+from .jit_options import decode_jit
 
 Params = Dict[str, Any]
 
@@ -436,7 +436,7 @@ def unpack_chunk_aux(aux: np.ndarray, num_slots: int, ticks: int, Q: int,
                      staging_rows: int):
     """Inverse of serve_chunk's packed aux: -> (frames (B,ticks,Q),
     emit (B,ticks), req_id (B,ticks), finished (B,ticks), staged_valid (K,),
-    t (B,))."""
+    staged_rid (K,), t (B,))."""
     B, K = num_slots, staging_rows
     n_bt = B * ticks
     off = 0
@@ -445,13 +445,13 @@ def unpack_chunk_aux(aux: np.ndarray, num_slots: int, ticks: int, Q: int,
     req_id = aux[off:off + n_bt].reshape(B, ticks); off += n_bt
     finished = aux[off:off + n_bt].reshape(B, ticks).astype(bool); off += n_bt
     staged_valid = aux[off:off + K].astype(bool); off += K
+    staged_rid = aux[off:off + K]; off += K
     t = aux[off:off + B]
-    return frames, emit, req_id, finished, staged_valid, t
+    return frames, emit, req_id, finished, staged_valid, staged_rid, t
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "attend_len", "ticks",
-                                   "installs_per_tick"),
-         donate_argnums=(2,), compiler_options=DECODE_COMPILER_OPTIONS)
+@decode_jit(static_argnames=("cfg", "gen_cfg", "attend_len", "ticks",
+                            "installs_per_tick"), donate_argnums=(2,))
 def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
                 gen_cfg: GenerationConfig, key: jax.Array, ticks: int,
                 attend_len: Optional[int] = None,
@@ -463,7 +463,8 @@ def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
     slot is re-used within the same chunk.
 
     Returns (state, aux) where aux is ONE flat int32 array packing
-    (frames, emit, req_id, finished, staged_valid, t) — a single
+    (frames, emit, req_id, finished, staged_valid, staged_rid, t) — a
+    single
     device-to-host transfer per chunk (round trips dominate host cost on
     remote-tunnel backends); decode with `unpack_chunk_aux`."""
     keys = jax.random.split(key, ticks)
@@ -481,6 +482,7 @@ def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
         swap(req_id).reshape(-1).astype(jnp.int32),
         swap(finished).reshape(-1).astype(jnp.int32),
         state.staged_valid.astype(jnp.int32),
+        state.staged_req_id.astype(jnp.int32),
         state.t.astype(jnp.int32),
     ])
     return state, aux
@@ -553,15 +555,23 @@ class ContinuousBatchingEngine:
         self.pending: deque = deque()
         self.frames_acc: Dict[int, List[np.ndarray]] = {}
         self.req_max_frames: Dict[int, int] = {}
-        self.staged_rows_busy: set = set()
+        # staging rows occupied by a staged-but-not-yet-installed request
+        # (row -> request id; the rid disambiguates chunk-aux invalidations
+        # that refer to a PREVIOUS occupant of the row)
+        self.staged_rows_busy: Dict[int, int] = {}
         self.max_live_t = 0   # host mirror of max device t (exact per chunk)
         self._pad_cache: Dict[Tuple[int, int], Any] = {}
         self._zero_rows = None   # device-resident padding entry for N-buckets
         self._tts_pad_dev = None
         # chunk pipelining: launched chunks whose packed aux is still on
-        # device ((aux, ticks) FIFO) — synced one chunk behind under load
+        # device ((aux, ticks, rows-staged-at-launch) FIFO) — synced one
+        # chunk behind under load
         self._unprocessed: deque = deque()
         self._ticks_in_flight = 0
+        # requests whose frame budget clamps to zero complete immediately
+        # (they would otherwise stall run_until_drained: no chunk is ever
+        # launched for an empty budget)
+        self._instant: List[Completion] = []
         from ..utils.metrics import global_metrics
         self.metrics = global_metrics()
 
@@ -588,6 +598,11 @@ class ContinuousBatchingEngine:
 
     def submit(self, req: Request) -> None:
         self.metrics.count("engine.submits")
+        if (req.request_id in self.frames_acc
+                or any(p[0] == req.request_id for p in self.pending)):
+            # ids key frame attribution and staging-row reclaim; a duplicate
+            # would silently merge two requests' frames
+            raise ValueError(f"request id {req.request_id} already in flight")
         T = req.inputs_embeds.shape[1]
         if T > self.prefill_bucket:
             raise ValueError(
@@ -597,9 +612,15 @@ class ContinuousBatchingEngine:
             req.inputs_embeds, req.attn_mask, req.trailing)
         if self._tts_pad_dev is None:
             self._tts_pad_dev = jnp.asarray(req.tts_pad, self.dtype)
+        S = self.state.cache.k.shape[2]
+        mf = min(req.max_frames, S - self.prefill_bucket - 1)
+        if mf <= 0:
+            self._instant.append(Completion(
+                req.request_id,
+                np.zeros((0, self.cfg.num_code_groups), np.int64)))
+            return
         self.pending.append((req.request_id, e, m, tr,
-                             min(req.trailing_len, self.max_trailing),
-                             req.max_frames))
+                             min(req.trailing_len, self.max_trailing), mf))
 
     def _stage_pending(self) -> int:
         """Stage as many pending requests as there are free pool rows,
@@ -619,7 +640,6 @@ class ContinuousBatchingEngine:
         if n == 0:
             return 0
         Nb = 1 << (n - 1).bit_length()   # pow2 bucket => few compiled shapes
-        S = self.state.cache.k.shape[2]
         if self._zero_rows is None:
             Lp, H, Tt = (self.prefill_bucket, self.cfg.hidden_size,
                          self.max_trailing)
@@ -631,11 +651,10 @@ class ContinuousBatchingEngine:
         for i in range(Nb):
             if i < n:
                 rid, e, m, tr, tlen, mf = self.pending.popleft()
-                mf = min(mf, S - self.prefill_bucket - 1)
                 meta[i] = (rid, mf, tlen, free_rows[i], 1)
                 self.frames_acc[rid] = []
                 self.req_max_frames[rid] = mf
-                self.staged_rows_busy.add(free_rows[i])
+                self.staged_rows_busy[free_rows[i]] = rid
             else:
                 e, m, tr = self._zero_rows
                 meta[i] = (-1, 0, 0, 0, 0)
@@ -695,7 +714,8 @@ class ContinuousBatchingEngine:
         self._ticks_in_flight -= ticks
         with self.metrics.time("engine.aux_sync_s"):
             aux_np = np.asarray(aux)
-        frames, emit, req_id, finished, staged_valid, t_dev = unpack_chunk_aux(
+        (frames, emit, req_id, finished, staged_valid, staged_rid,
+         t_dev) = unpack_chunk_aux(
             aux_np, self.num_slots, ticks,
             self.cfg.num_code_groups, self.state.staged_valid.shape[0])
         completions: List[Completion] = []
@@ -711,9 +731,15 @@ class ContinuousBatchingEngine:
                 codes = (np.stack(acc) if acc
                          else np.zeros((0, self.cfg.num_code_groups), np.int64))
                 completions.append(Completion(rid, codes))
-        # reclaim staging rows whose request was installed during the chunk
-        self.staged_rows_busy = {k for k in self.staged_rows_busy
-                                 if staged_valid[k]}
+        # reclaim staging rows whose request was installed during the
+        # chunk.  A row is freed only when the chunk marks it invalid AND
+        # names OUR occupant: an in-flight chunk launched before the row was
+        # (re)staged reports the previous occupant's rid (or -1), so its
+        # invalidation must not free the new request (it would be
+        # overwritten by the next stage_requests and silently dropped).
+        for r in [r for r, rid in self.staged_rows_busy.items()
+                  if not staged_valid[r] and staged_rid[r] == rid]:
+            del self.staged_rows_busy[r]
         self.max_live_t = int(t_dev.max()) if self.frames_acc else 0
         self.metrics.count("engine.frames", float(emit.sum()))
         self.metrics.count("engine.completions", len(completions))
@@ -735,7 +761,8 @@ class ContinuousBatchingEngine:
         its device-to-host transfer overlaps the next chunk's execution; at
         the tail every aux is synced immediately so drain decisions use
         fresh liveness."""
-        completions: List[Completion] = []
+        completions: List[Completion] = list(self._instant)
+        self._instant.clear()
         if self._stage_pending() == 0 and self.pending and self._unprocessed:
             # staging blocked on rows whose release we have not observed yet
             completions += self._process_oldest()

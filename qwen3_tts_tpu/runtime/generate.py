@@ -36,7 +36,7 @@ from ..config import TalkerConfig
 from ..models.talker import (KVCache, StackDims, code_predictor_frame_dispatch,
                              talker_decode_step, talker_prefill)
 from ..ops.sampling import SamplingParams, process_and_sample
-from .jit_options import DECODE_COMPILER_OPTIONS
+from .jit_options import decode_jit
 
 Params = Dict[str, Any]
 
@@ -193,9 +193,8 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     return new_state, frame, last_hidden[:, 0], active
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len",
-                                   "use_pallas_attention"),
-         donate_argnums=(4,), compiler_options=DECODE_COMPILER_OPTIONS)
+@decode_jit(static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len",
+                            "use_pallas_attention"), donate_argnums=(4,))
 def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
                  const: DecodeConst, state: DecodeState, num_frames: int,
                  attend_len: Optional[int] = None,
@@ -268,8 +267,7 @@ def generate_frames_chunked(params: Params, cfg: TalkerConfig,
     return GenerationResult(jnp.asarray(codes), jnp.asarray(lengths), hidden)
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg"),
-         compiler_options=DECODE_COMPILER_OPTIONS)
+@decode_jit(static_argnames=("cfg", "gen_cfg"))
 def generate_frames(params: Params, cfg: TalkerConfig,
                     gen_cfg: GenerationConfig,
                     inputs_embeds: jax.Array, attn_mask: jax.Array,

@@ -90,13 +90,18 @@ def _parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
             else:
                 float_data.append(np.frombuffer(bytes(val), "<f4")[0])
         elif field == 7:
+            # int64_data: protobuf encodes negatives as 10-byte
+            # two's-complement varints — fold back into signed int64
+            def _signed(v):
+                return v - (1 << 64) if v >= (1 << 63) else v
+
             if wire == 2:
                 pos = 0
                 while pos < len(val):
                     v, pos = _varint(val, pos)
-                    int64_data.append(v)
+                    int64_data.append(_signed(v))
             else:
-                int64_data.append(val)
+                int64_data.append(_signed(val))
         elif field == 8 and wire == 2:
             name = val.decode("utf-8")
         elif field == 9 and wire == 2:

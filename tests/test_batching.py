@@ -247,3 +247,93 @@ def test_engine_burst_exceeding_staging_rows():
         b = c.request_id % B_avail
         want = codes[b, :min(lens[b], budgets[c.request_id])]
         np.testing.assert_array_equal(np.asarray(c.codes), want)
+
+
+@requires_reference
+def test_engine_incremental_load_no_dropped_requests():
+    """Regression: staging-row reclaim used the in-flight chunk's (stale)
+    staged_valid snapshot, freeing rows that were staged AFTER that chunk
+    launched; a later stage_requests then overwrote a staged-but-not-
+    installed request, which was silently dropped and the engine never
+    drained.  Submitting between steps under slot pressure hits the race."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from qwen3_tts_tpu.runtime.generate import generate_frames
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    embeds, mask, trailing, pad = _random_inputs(45)
+    B_avail = embeds.shape[0]
+
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32, ticks_per_sync=1,
+                                      staging_rows=4)
+
+    def make_req(i):
+        b = i % B_avail
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        return Request(
+            request_id=i,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+            attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=5)
+
+    n_req = 8
+    done = []
+    i = 0
+    for _ in range(4):            # 2 submits per engine step
+        engine.submit(make_req(i)); i += 1
+        engine.submit(make_req(i)); i += 1
+        done.extend(engine.step())
+    done.extend(engine.run_until_drained(max_ticks=500))
+    assert sorted(c.request_id for c in done) == list(range(n_req)), \
+        f"dropped requests: completed {sorted(c.request_id for c in done)}"
+
+    out = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
+                          jax.random.PRNGKey(0))
+    codes, lens = np.asarray(out.codes), np.asarray(out.lengths)
+    for c in done:
+        b = c.request_id % B_avail
+        want = codes[b, :min(lens[b], 5)]
+        np.testing.assert_array_equal(np.asarray(c.codes), want)
+
+
+@requires_reference
+def test_engine_zero_frame_budget_completes_immediately():
+    """A request whose frame budget clamps to zero (max_frames=0, or a
+    prompt bucket leaving no cache room) completes with 0 frames instead of
+    stalling run_until_drained."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=4)
+    embeds, mask, trailing, pad = _random_inputs(46)
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+    n = int(mask[0].sum())
+    L = embeds.shape[1]
+    sl = slice(L - n, L)
+    engine.submit(Request(
+        request_id=7,
+        inputs_embeds=jnp.asarray(embeds[0:1, sl]),
+        attn_mask=jnp.asarray(mask[0:1, sl]),
+        trailing=jnp.asarray(trailing[0:1]),
+        trailing_len=trailing.shape[1],
+        tts_pad=jnp.asarray(pad),
+        max_frames=0))
+    done = engine.run_until_drained(max_ticks=50)
+    assert len(done) == 1 and done[0].request_id == 7
+    assert done[0].codes.shape == (0, cfg.num_code_groups)

@@ -336,6 +336,26 @@ def test_onnx_initializer_reader(tmp_path, use_raw):
         np.testing.assert_array_equal(got[k], tensors[k])
 
 
+def test_onnx_initializer_reader_negative_int64(tmp_path):
+    """Regression: int64_data varints decoded as unsigned turned -1 into
+    2**64-1 and crashed np.asarray with OverflowError (protobuf encodes
+    negative int64 as a 10-byte two's-complement varint)."""
+    from qwen3_tts_tpu.utils.onnx_weights import read_onnx_initializers
+
+    vals = np.asarray([-1, -2048, 0, 7, -(1 << 40)], np.int64)
+    body = _pb_field(1, 0, _pb_varint(len(vals)))
+    body += _pb_field(2, 0, _pb_varint(7))            # int64
+    body += _pb_field(8, 2, b"shape_tensor")
+    packed = b"".join(_pb_varint(int(v) & ((1 << 64) - 1)) for v in vals)
+    body += _pb_field(7, 2, packed)                   # packed int64_data
+    model = _pb_field(7, 2, _pb_field(5, 2, body))
+    path = str(tmp_path / "neg.onnx")
+    with open(path, "wb") as f:
+        f.write(model)
+    got = read_onnx_initializers(path)
+    np.testing.assert_array_equal(got["shape_tensor"], vals)
+
+
 def test_xvector_extractor_jax_path(tmp_path):
     """End-to-end: a campplus.onnx-shaped file (twin weights as initializers)
     -> XVectorExtractor -> embedding matches the torch twin on kaldi fbank
