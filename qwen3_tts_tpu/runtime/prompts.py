@@ -116,7 +116,9 @@ def build_prompt(params: Params, cfg: TalkerConfig, model_cfg: TTSModelConfig,
         [jnp.broadcast_to(tts_pad, (1, n - 2, tts_pad.shape[-1])), tts_bos],
         axis=1)
     merged = text_track + codec_embed[:, :-1]
-    prompt = jnp.concatenate([role_embed, merged], axis=1)
+    # instruct embeds lead the prefill (reference 2076-2080: instruct is
+    # appended to talker_input_embeds[index] BEFORE the role block)
+    prompt = jnp.concatenate(parts + [role_embed, merged], axis=1)
 
     if spec.ref_code is not None:
         # ICL voice-clone block (generate_icl_prompt, reference 1968-2019)

@@ -242,3 +242,47 @@ def test_voice_clone_x_vector_only_parity(non_streaming):
     got = _our_generate(params, cfg, specs, M)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+@requires_reference
+def test_instruct_prefill_embedding_parity():
+    """The assembled prefill EMBEDDINGS with an instruct block must match the
+    reference's talker inputs_embeds position-for-position.  (Greedy-code
+    parity cannot catch prompt-prefix bugs on tiny random weights: the
+    init-scale model's outputs are dominated by the final prefill token, and
+    the reference itself produces identical codes with and without instruct
+    — regression: the instruct embeds were built but dropped from the
+    concatenation in build_prompt.)"""
+    import torch
+
+    from qwen3_tts_tpu.runtime.prompts import PromptSpec, build_prompt
+
+    ref, rcfg, model = _make_reference_model(model_type="voice_design")
+    params, cfg = _to_jax(model)
+    rng = np.random.default_rng(5)
+    ids = _fake_tokens(rng, 12)
+    instruct = _fake_tokens(rng, 7)
+
+    captured = {}
+    orig = model.talker.generate
+
+    def spy(*a, **k):
+        captured["embeds"] = k["inputs_embeds"].detach().clone()
+        return orig(*a, **k)
+
+    model.talker.generate = spy
+    with torch.no_grad():
+        model.generate(
+            input_ids=[torch.from_numpy(ids).reshape(1, -1)],
+            instruct_ids=[torch.from_numpy(instruct).reshape(1, -1)],
+            languages=["auto"], speakers=[""], non_streaming_mode=True,
+            max_new_tokens=2, do_sample=False, subtalker_dosample=False)
+    model.talker.generate = orig
+    want = captured["embeds"].float().numpy()[0]
+
+    spec = PromptSpec(input_id=ids, instruct_id=instruct, non_streaming=True)
+    got = np.asarray(
+        build_prompt(params, cfg.talker_config, cfg, spec)[0],
+        np.float32)[0]
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
