@@ -79,7 +79,10 @@ def main():
         from qwen3_tts_tpu.utils.testing import TALKER_0B6
 
         cfg = TALKER_0B6
-    B = int(os.environ.get("BENCH_BATCH", "16"))
+    # B=32 default: decode is weight-read-bound, so doubling the batch from
+    # 16 lifted talker RTF 220 -> 337x and compute e2e 165 -> 231x (measured
+    # same-window); B=64 currently fails remote compile (HTTP 500)
+    B = int(os.environ.get("BENCH_BATCH", "32"))
     M = int(os.environ.get("BENCH_FRAMES", "64"))  # max_new_tokens
     L = 64                                          # prefill length
     dtype = jnp.bfloat16

@@ -273,6 +273,7 @@ class Qwen3TTSModel:
     def _generation_config(self, kw: Dict[str, Any]) -> GenerationConfig:
         return GenerationConfig(
             max_new_tokens=int(kw["max_new_tokens"]),
+            min_new_tokens=int(kw.get("min_new_tokens", 2)),
             sampling=SamplingParams(
                 do_sample=bool(kw["do_sample"]), top_k=int(kw["top_k"]),
                 top_p=float(kw["top_p"]), temperature=float(kw["temperature"]),
@@ -325,42 +326,31 @@ class Qwen3TTSModel:
         key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None
                                  else seed)
         sr = tok.get_output_sample_rate()
+        up = tok.config.decoder_config.total_upsample
         for pkt in session.run(embeds, mask, trailing, pad, key,
                                context_codes=context_codes):
-            yield pkt.wav, sr
+            # silence each row's post-EOS samples and drop trailing columns
+            # no row still uses (frames after EOS are zero-masked codes, but
+            # the vocoder still emits audio for them)
+            wav = pkt.wav
+            n_active = pkt.active_frames.astype(np.int64)
+            max_active = int(n_active.max())
+            if max_active < pkt.frame_count:
+                wav = wav[:, :max_active * up]
+            if (n_active < max_active).any():
+                cols = np.arange(wav.shape[1])[None, :]
+                wav = np.where(cols < n_active[:, None] * up, wav, 0.0)
+            if wav.shape[1] == 0:
+                continue
+            yield wav.astype(np.float32), sr
 
     def stream_custom_voice(self, text, speaker, language=None, instruct=None,
                             seed: Optional[int] = None, **kwargs):
         """Streaming custom-voice synthesis: yields (wav_chunk, sr) packets
         with sub-100ms first-packet latency (capability absent from the
         reference, whose streaming flag only changes the text layout)."""
-        if self.tts_model_type != "custom_voice":
-            raise ValueError(
-                f"model type {self.tts_model_type} does not support "
-                "stream_custom_voice")
-        texts = self._ensure_list(text)
-        n = len(texts)
-        languages = self._broadcast(language, n, default="Auto")
-        speakers = self._broadcast(speaker, n)
-        if self.tts_model_size == "0b6":
-            instruct = None
-        instructs = self._broadcast(instruct, n, default="")
-        self._validate_languages(languages)
-        self._validate_speakers(speakers)
-
-        tc = self.config.talker_config
-        specs = []
-        for t, spk, lang, ins in zip(texts, speakers, languages, instructs):
-            spk_embed = None
-            if spk:
-                spk_embed = self.talker_params["codec_embedding"][tc.spk_id[spk.lower()]]
-            specs.append(PromptSpec(
-                input_id=self._tokenize(self._build_assistant_text(t)),
-                language_id=self._language_id(lang, spk),
-                speaker_embed=spk_embed,
-                instruct_id=(self._tokenize(self._build_instruct_text(ins))
-                             if ins else None),
-                non_streaming=False))
+        specs = self._specs_custom_voice(text, speaker, language, instruct,
+                                         non_streaming=False)
         kw = self._merge_generate_kwargs(**kwargs)
         return self._stream_run(specs, self._generation_config(kw), seed=seed)
 
@@ -375,7 +365,10 @@ class Qwen3TTSModel:
     # ------------------------------------------------------------------
 
     def extract_speaker_embedding(self, audio: np.ndarray, sr: int) -> np.ndarray:
-        assert sr == 24000, "Only support 24kHz audio"
+        want_sr = self.speaker_encoder_sample_rate
+        if sr != want_sr:
+            raise ValueError(
+                f"speaker encoder expects {want_sr} Hz audio, got {sr}")
         if self.speaker_encoder_params is None:
             raise RuntimeError("this checkpoint has no speaker encoder")
         emb = extract_speaker_embedding(
@@ -428,14 +421,12 @@ class Qwen3TTSModel:
     # Generation APIs
     # ------------------------------------------------------------------
 
-    def generate_custom_voice(self, text, speaker, language=None,
-                              instruct=None, non_streaming_mode: bool = True,
-                              seed: Optional[int] = None, **kwargs):
-        """Reference: qwen3_tts_model.py:731-839."""
+    def _specs_custom_voice(self, text, speaker, language, instruct,
+                            non_streaming):
         if self.tts_model_type != "custom_voice":
             raise ValueError(
                 f"model type {self.tts_model_type} does not support "
-                "generate_custom_voice")
+                "custom voice")
         texts = self._ensure_list(text)
         n = len(texts)
         languages = self._broadcast(language, n, default="Auto")
@@ -459,7 +450,15 @@ class Qwen3TTSModel:
                 speaker_embed=spk_embed,
                 instruct_id=(self._tokenize(self._build_instruct_text(ins))
                              if ins else None),
-                non_streaming=non_streaming_mode))
+                non_streaming=non_streaming))
+        return specs
+
+    def generate_custom_voice(self, text, speaker, language=None,
+                              instruct=None, non_streaming_mode: bool = True,
+                              seed: Optional[int] = None, **kwargs):
+        """Reference: qwen3_tts_model.py:731-839."""
+        specs = self._specs_custom_voice(text, speaker, language, instruct,
+                                         non_streaming_mode)
         kw = self._merge_generate_kwargs(**kwargs)
         codes = self._run(specs, self._generation_config(kw), seed=seed)
         return self.speech_tokenizer.decode([{"audio_codes": c} for c in codes])
@@ -585,16 +584,23 @@ class Qwen3TTSModel:
         specs, items = self._specs_voice_clone(
             text, language, ref_audio, ref_text, x_vector_only_mode,
             voice_clone_prompt, False)
-        # assemble (B, Q, T0) context, left-padded across ragged ref lengths
+        # assemble (B, Q, T0) context from each ref's LAST frames.  The
+        # vocoder uses at most `vocoder_left_context` (25) frames, so T0 =
+        # min over refs (capped at 25) — no zero-padding: padded rows would
+        # feed codebook-entry-0 frames to the vocoder as fake context.
+        # Mixed batches (some items without ref codes) run without context;
+        # split such batches to keep per-item context.
         ref_codes = [np.asarray(it.ref_code) for it in items
                      if it.ref_code is not None]
         context = None
         if ref_codes and len(ref_codes) == len(items):
-            q = ref_codes[0].shape[1]
-            t0 = max(c.shape[0] for c in ref_codes)
-            context = np.zeros((len(items), q, t0), np.int32)
-            for i, c in enumerate(ref_codes):
-                context[i, :, t0 - c.shape[0]:] = c.T
+            from ..runtime.streaming import StreamingConfig
+
+            t0 = min(min(c.shape[0] for c in ref_codes),
+                     StreamingConfig().vocoder_left_context)
+            if t0 > 0:
+                context = np.stack(
+                    [c[-t0:].T for c in ref_codes]).astype(np.int32)
         kw = self._merge_generate_kwargs(**kwargs)
         return self._stream_run(specs, self._generation_config(kw), seed=seed,
                                 context_codes=context)

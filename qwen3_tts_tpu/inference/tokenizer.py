@@ -144,6 +144,9 @@ class Qwen3TTSTokenizer:
         target_sr = self._fe_sampling_rate or self.get_input_sample_rate()
         if isinstance(audios, (str, np.ndarray)):
             audios = [audios]
+        elif (isinstance(audios, tuple) and len(audios) == 2
+                and isinstance(audios[0], np.ndarray)):
+            audios = [audios]   # a single (wav, sr) pair, not a sequence
         out = []
         for a in audios:
             if isinstance(a, str):

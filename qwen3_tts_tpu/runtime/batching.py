@@ -39,7 +39,8 @@ from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, default_inv_freq, rope_tables
 from ..ops.sampling import process_and_sample
 from ..weights import matmul_t, weight_rows
-from .generate import GenerationConfig, suppress_mask_for
+from .generate import (ATTEND_BUCKET, GenerationConfig,
+                       suppress_mask_for)
 from .jit_options import decode_jit
 
 Params = Dict[str, Any]
@@ -695,7 +696,8 @@ class ContinuousBatchingEngine:
         ticks = self._next_ticks()
         max_idx = (self.prefill_bucket + self.max_live_t
                    + self._ticks_in_flight)
-        attend = min(S, ((max_idx + ticks + 1 + 255) // 256) * 256)
+        attend = min(S, ((max_idx + ticks + 1 + ATTEND_BUCKET - 1)
+                         // ATTEND_BUCKET) * ATTEND_BUCKET)
         self.state, aux = serve_chunk(
             self.params, self.cfg, self.state, self.gen_cfg, sub, ticks,
             attend_len=attend, installs_per_tick=self.installs_per_tick)

@@ -40,6 +40,11 @@ from .jit_options import decode_jit
 
 Params = Dict[str, Any]
 
+# decode attention reads a dynamic_slice window rounded up to this bucket:
+# one compiled program per bucket instead of per length (shared by the
+# chunked generator, the streaming session and the serving engine)
+ATTEND_BUCKET = 256
+
 
 @dataclass(frozen=True)
 class GenerationConfig:
@@ -88,7 +93,10 @@ class DecodeState(NamedTuple):
 class GenerationResult(NamedTuple):
     codes: jax.Array    # (B, max_frames, Q) int32
     lengths: jax.Array  # (B,) valid frame count per sample
-    hidden: jax.Array   # (B, max_frames, H) talker hidden per frame
+    # (B, max_frames, H) talker hidden per frame on the fused path;
+    # generate_frames_chunked returns an EMPTY (B, 0, H) array instead
+    # (per-frame hiddens of 1k+ frame generations would be GBs of HBM)
+    hidden: jax.Array
 
 
 @partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_len"))
@@ -225,7 +233,8 @@ def generate_frames_chunked(params: Params, cfg: TalkerConfig,
                             inputs_embeds: jax.Array, attn_mask: jax.Array,
                             trailing_text: jax.Array, tts_pad_embed: jax.Array,
                             key: jax.Array, chunk: int = 64,
-                            attend_bucket: int = 256) -> GenerationResult:
+                            attend_bucket: int = ATTEND_BUCKET
+                            ) -> GenerationResult:
     """Host-chunked batch generation: same results as `generate_frames`, but
     each chunk attends only a length bucket of the KV buffer (the while_loop
     variant must read the full preallocated buffer every step, which at

@@ -33,7 +33,8 @@ import numpy as np
 
 from ..config import CodecV2DecoderConfig, TalkerConfig
 from ..models.codec12.decoder import decode_frames as vocoder_decode
-from .generate import GenerationConfig, decode_chunk, init_decode_state
+from .generate import (ATTEND_BUCKET, GenerationConfig, decode_chunk,
+                       init_decode_state)
 
 Params = Dict[str, Any]
 
@@ -56,6 +57,18 @@ class StreamPacket:
     latency_s: float           # wall time since session start
 
 
+@partial(jax.jit, static_argnames=("cfg", "size", "ctx"))
+def _vocode_slice(p, cfg, codes_buf, start, size, ctx):
+    """Slice [start, start+size) frames from the device code history, decode,
+    drop the ctx left-context samples.  Module-level so the compiled
+    (size, ctx) programs are shared across sessions — a per-instance jit
+    closure recompiled the whole warmup schedule on every request."""
+    B, Q, _ = codes_buf.shape
+    chunk = jax.lax.dynamic_slice(codes_buf, (0, 0, start), (B, Q, size))
+    wav = vocoder_decode(p, cfg, jnp.clip(chunk, 0, None))
+    return wav[:, 0, ctx * cfg.total_upsample:]
+
+
 class StreamingSession:
     """One batched streaming synthesis run."""
 
@@ -69,18 +82,6 @@ class StreamingSession:
         self.vocoder_params = vocoder_params
         self.vocoder_cfg = vocoder_cfg
         self.stream_cfg = stream_cfg
-
-        @partial(jax.jit, static_argnames=("size", "ctx"))
-        def _vocode_slice(p, codes_buf, start, size, ctx):
-            """Slice [start, start+size) frames from the device code history,
-            decode, drop the ctx left-context samples."""
-            B, Q, _ = codes_buf.shape
-            chunk = jax.lax.dynamic_slice(codes_buf, (0, 0, start), (B, Q, size))
-            wav = vocoder_decode(p, vocoder_cfg, jnp.clip(chunk, 0, None))
-            up = vocoder_cfg.total_upsample
-            return wav[:, 0, ctx * up:]
-
-        self._vocode_slice = _vocode_slice
 
     def _chunk_schedule(self, max_frames: int) -> Iterator[int]:
         emitted = 0
@@ -129,16 +130,20 @@ class StreamingSession:
         for k in self._chunk_schedule(max_frames):
             # static attention bucket covering this chunk's final length
             needed = T + (emitted - T0) + k + 1
-            attend = min(S, ((needed + 255) // 256) * 256)
+            attend = min(S, ((needed + ATTEND_BUCKET - 1)
+                             // ATTEND_BUCKET) * ATTEND_BUCKET)
             state, frames, active = decode_chunk(
                 self.talker_params, cfg, gen_cfg, const, state, k,
                 attend_len=attend)
+            # zero post-EOS frames (matching generate_frames' masking) so the
+            # vocoder never sees raw sampled control-range ids
+            frames = frames * active[..., None].astype(frames.dtype)
             codes_buf = jax.lax.dynamic_update_slice(
                 codes_buf, jnp.swapaxes(frames, 1, 2), (0, 0, emitted))
 
             ctx = min(ctx_max, emitted)
-            wav_dev = self._vocode_slice(self.vocoder_params, codes_buf,
-                                         emitted - ctx, ctx + k, ctx)
+            wav_dev = _vocode_slice(self.vocoder_params, self.vocoder_cfg,
+                                    codes_buf, emitted - ctx, ctx + k, ctx)
             wav = np.asarray(wav_dev)              # one D2H sync per packet
             active_np = np.asarray(active)
 

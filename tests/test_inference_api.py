@@ -93,6 +93,10 @@ def test_tokenizer_roundtrip_api(tiny_checkpoint):
     assert wavs[0].shape[0] == t_a * tok.get_decode_upsample_rate()
     # dict and list[dict] input forms
     wavs2, _ = tok.decode({"audio_codes": enc.audio_codes})
+    # a single (wav, sr) tuple is one input, not a sequence of two
+    enc_t = tok.encode((wav_a, ENC_TINY["sampling_rate"]))
+    assert len(enc_t.audio_codes) == 1
+    np.testing.assert_array_equal(enc_t.audio_codes[0], enc.audio_codes[0])
     wavs3, _ = tok.decode([{"audio_codes": c} for c in enc.audio_codes])
     np.testing.assert_array_equal(wavs[0], wavs2[0])
     np.testing.assert_array_equal(wavs[0], wavs3[0])

@@ -97,3 +97,55 @@ def test_streaming_session_end_to_end():
     lens = sum(np.asarray(p.active_frames) for p in packets)
     for b, w in enumerate(wavs):
         assert w.shape[0] == int(lens[b]) * up
+
+
+@requires_reference
+def test_streaming_masks_post_eos_frames():
+    """Post-EOS frames must be zero-masked in the device code history
+    (matching generate_frames), and packets' active_frames must expose the
+    per-row valid counts so the API can silence the tail.  Regression: raw
+    sampled post-EOS codes (control-range ids) were vocoded into the
+    emitted packets."""
+    import jax
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.generate import GenerationConfig, generate_frames
+    from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
+                                                 StreamingSession,
+                                                 _vocode_slice)
+    from tests.test_codec12_decoder import (_make_reference_decoder,
+                                            _to_jax_params)
+    from tests.test_talker import (_make_reference_talker, _random_inputs,
+                                   _to_jax)
+
+    ref, rcfg, model = _make_reference_talker()
+    params, cfg = _to_jax(model)
+    # seed 9: greedy lengths [2, 11] < M-1 — one sample EOSes early
+    embeds, mask, trailing, pad = _random_inputs(9)
+    # greedy so the one-shot oracle matches the chunked session exactly
+    gen_cfg = GenerationConfig(
+        max_new_tokens=12,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False))
+
+    out = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
+                          jax.random.PRNGKey(11))
+    lens = np.asarray(out.lengths)
+    M = gen_cfg.max_new_tokens - 1
+    if (lens >= M).all():
+        pytest.skip("no sample EOSed early at this seed; oracle mask empty")
+
+    _, _, dec_model = _make_reference_decoder()
+    dec_params, dec_cfg = _to_jax_params(dec_model)
+    session = StreamingSession(params, cfg, gen_cfg, dec_params, dec_cfg,
+                               StreamingConfig(warmup_schedule=(2, 3),
+                                               steady_chunk=4,
+                                               vocoder_left_context=3))
+    packets = list(session.run(embeds, mask, trailing, pad,
+                               jax.random.PRNGKey(11)))
+    # the sum of active frames equals the one-shot valid lengths
+    got_lens = sum(np.asarray(p.active_frames) for p in packets)
+    np.testing.assert_array_equal(got_lens, lens)
+    # per packet, active counts never exceed the emitted frame span
+    for p in packets:
+        assert (np.asarray(p.active_frames) <= p.frame_count).all()
