@@ -103,6 +103,15 @@ def main(argv=None, processor=None):
         out_dir = os.path.join(args.output_model_path,
                                f"checkpoint-epoch-{epoch}")
         shutil.copytree(args.init_model_path, out_dir, dirs_exist_ok=True)
+        # drop any sharded-checkpoint remnants copied from the init model:
+        # load_safetensors_dir prefers the index file, which would silently
+        # shadow the consolidated finetuned model.safetensors written below
+        import glob
+        for stale in ([os.path.join(out_dir, "model.safetensors.index.json")]
+                      + glob.glob(os.path.join(out_dir,
+                                               "model-*-of-*.safetensors"))):
+            if os.path.exists(stale):
+                os.remove(stale)
         with open(os.path.join(args.init_model_path, "config.json")) as f:
             config_dict = json.load(f)
         config_dict["tts_model_type"] = "custom_voice"
@@ -114,6 +123,11 @@ def main(argv=None, processor=None):
                   encoding="utf-8") as f:
             json.dump(config_dict, f, indent=2, ensure_ascii=False)
 
+        if target_speaker_embedding is None:
+            raise ValueError(
+                f"no training step ran: dataset has {len(dataset)} rows, "
+                f"batch_size={args.batch_size} (full batches only, matching "
+                "the reference loop) — reduce batch_size or add data")
         sd = talker_params_to_state_dict(jax.device_get(params), tc)
         emb = sd["talker.model.codec_embedding.weight"].copy()
         emb[args.speaker_row] = target_speaker_embedding.astype(emb.dtype)

@@ -111,7 +111,11 @@ def sft_loss(params: Params, cfg: TalkerConfig, batch: Dict[str, jax.Array],
     dims = StackDims.from_talker(cfg)
     cache = KVCache.zeros(cfg.num_hidden_layers, B, T - 1, dims.kv_heads,
                           dims.head_dim, dtype=emb.dtype)
-    _, hidden, _ = talker_prefill(params, cfg, emb[:, :-1], attn[:, :-1], cache)
+    # allow_flash=False: SFT batches are right-padded and the loss is
+    # differentiated — both outside the flash kernel's contract
+    _, hidden, _ = talker_prefill(params, cfg, emb[:, :-1],
+                                  attn[:, :-1], cache,
+                                  allow_flash=False)
     logits = jnp.einsum("bth,vh->btv", hidden.astype(jnp.float32),
                         params["codec_head"].astype(jnp.float32))
     talker_loss = _cross_entropy(logits, batch["codec_0_labels"][:, 1:])

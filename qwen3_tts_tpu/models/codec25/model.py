@@ -59,8 +59,12 @@ class XVectorExtractor:
 
                 self.jax_params = load_campplus_params(onnx_path)
                 self.jax_cfg = CAMPPlusConfig()
-            except (ValueError, OSError):
-                self.jax_params = None  # fall through to onnxruntime
+            except Exception:
+                # the dependency-free protobuf walker can fail in many ways
+                # on a differently-exported graph (IndexError, struct.error,
+                # reshape TypeError, ...) — any parse failure falls through
+                # to onnxruntime rather than crashing the constructor
+                self.jax_params = None
         if onnx_path is not None and self.jax_params is None:
             try:
                 import onnxruntime
@@ -138,6 +142,10 @@ class CodecV1Model:
         enc_params = self.params["encoder"]["tokenizer"]
         codes, lens = quantize_speech(enc_params, self.config.encoder_config,
                                       wavs_16k)
+        if self.xvector_extractor is None:
+            raise RuntimeError(
+                "V1 encode needs an XVectorExtractor (campplus.onnx); "
+                "construct the model with xvector_extractor=...")
         xvectors, ref_mels = [], []
         for wav in wavs_16k:
             xv, rm = self.xvector_extractor.extract_code(np.asarray(wav))

@@ -327,7 +327,8 @@ def text_project(params: Params, cfg: TalkerConfig, x: jax.Array) -> jax.Array:
 
 
 def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
-                   attn_mask: jax.Array, cache: KVCache
+                   attn_mask: jax.Array, cache: KVCache,
+                   allow_flash: bool = True
                    ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """Prefill the talker. inputs_embeds: (B, T, H) left-padded; attn_mask:
     (B, T) 1 = real token.  Returns (logits_last (B, V), hidden (B, T, H) —
@@ -341,8 +342,6 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
     positions = jnp.cumsum(attn_mask, axis=-1) - 1
     positions = jnp.where(attn_mask == 0, 1, positions)
 
-    kv_positions = jnp.full((B, S), jnp.iinfo(jnp.int32).max, jnp.int32)
-    kv_positions = jax.lax.dynamic_update_slice(kv_positions, positions.astype(jnp.int32), (0, 0))
     kv_valid = jnp.zeros((B, S), bool)
     kv_valid = jax.lax.dynamic_update_slice(kv_valid, attn_mask.astype(bool), (0, 0))
     # padding inside the prefill has position 1 which would break the <=
@@ -359,8 +358,11 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
     cos, sin = rope_tables(positions, inv_freq)
 
-    # first valid slot per row (left padding is contiguous by construction)
-    start = (T - jnp.sum(attn_mask, axis=-1)).astype(jnp.int32)
+    # first valid slot per row.  The flash kernel REQUIRES contiguous left
+    # padding (inference prompt layout) and has no autodiff rule — callers
+    # with right-padded batches or gradients (SFT) pass allow_flash=False.
+    start = ((T - jnp.sum(attn_mask, axis=-1)).astype(jnp.int32)
+             if allow_flash else None)
     h, cache = decoder_stack(params["layers"], params["norm"], dims,
                              inputs_embeds, cos, sin, bias, cache, 0,
                              prefill_start=start,

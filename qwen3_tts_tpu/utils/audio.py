@@ -48,14 +48,22 @@ def read_wav(path_or_bytes) -> Tuple[np.ndarray, int]:
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             payload = body
         pos += 8 + size + (size & 1)
     if fmt is None or payload is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(data) > 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1 if bits != 32 else 3
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format is the SubFormat GUID's leading 16-bit tag
+        # (fmt body: 16 base + cbSize 2 + validBits 2 + channelMask 4,
+        # GUID at offset 24); guessing from the bit depth misreads 32-bit
+        # integer PCM as float32
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            raise ValueError("WAVE_FORMAT_EXTENSIBLE without SubFormat GUID")
 
     if audio_format == 1:  # PCM
         if bits == 16:

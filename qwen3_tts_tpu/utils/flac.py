@@ -112,6 +112,10 @@ class _BitReader:
         if n == 0:
             return 0
         b = self.bits[self.pos:self.pos + n]
+        if b.shape[0] < n:
+            # truncated file: fail loudly instead of decoding short reads
+            # as zero bits (corrupt audio with no error)
+            raise ValueError("FLAC: ran off bitstream (truncated file?)")
         self.pos += n
         out = 0
         for bit in b.tolist():
@@ -376,6 +380,8 @@ def read_flac(path_or_bytes) -> Tuple[np.ndarray, int]:
             br.read(16)
         br.read(8)  # header CRC-8 (not verified — decode-side tolerance)
 
+        if ss_code != 0 and ss_code not in _SAMPLE_SIZES:
+            raise ValueError(f"FLAC: reserved sample-size code {ss_code}")
         bps = bps_def if ss_code == 0 else _SAMPLE_SIZES[ss_code]
 
         # ---- subframes ----

@@ -135,3 +135,48 @@ def test_flac_native_matches_python(tmp_path, monkeypatch):
         monkeypatch.delenv("QWEN3_TTS_NO_NATIVE")
         assert srn == srp == 24000
         np.testing.assert_array_equal(got_native, got_python)
+
+
+def test_wav_extensible_int32_pcm(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE must read the SubFormat GUID: 32-bit integer
+    PCM was previously guessed as IEEE float (full-scale garbage)."""
+    import struct
+
+    from qwen3_tts_tpu.utils.audio import read_wav
+
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-0.5, 0.5, size=(64,)) * (1 << 31)).astype("<i4")
+    sr = 16000
+    # KSDATAFORMAT_SUBTYPE_PCM GUID (leading tag 0x0001)
+    guid = struct.pack("<HHHH", 1, 0, 0x10, 0x8000) + \
+        bytes([0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71])
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0x4) + guid
+    data = x.tobytes()
+    riff = b"WAVE"
+    riff += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    path = str(tmp_path / "ext.wav")
+    with open(path, "wb") as f:
+        f.write(payload)
+    y, got_sr = read_wav(path)
+    assert got_sr == sr
+    np.testing.assert_allclose(y, x.astype(np.float64) / (1 << 31),
+                               atol=1e-9)
+
+
+def test_flac_truncated_raises(tmp_path):
+    """A FLAC cut off mid-frame must raise, not return corrupt audio."""
+    import pytest
+
+    from qwen3_tts_tpu.utils.flac import read_flac, write_flac
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-0.3, 0.3, size=(4000,)).astype(np.float32)
+    path = str(tmp_path / "t.flac")
+    write_flac(path, x, 16000)
+    with open(path, "rb") as f:
+        payload = f.read()
+    with pytest.raises(ValueError):
+        read_flac(payload[:len(payload) * 2 // 3])
