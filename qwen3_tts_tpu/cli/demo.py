@@ -11,7 +11,7 @@ When it is not (this TPU image ships without it), falls back to a stdlib
 JSON-over-HTTP API exposing the same three task modes:
 
     POST /tts {"task": "custom_voice"|"voice_design"|"voice_clone", ...}
-      -> {"sample_rate": sr, "wavs": [[...float16 samples...]]} or WAV bytes
+      -> {"sample_rate": sr, "wavs_b64": [base64 16-bit PCM WAV, ...]}
     GET /healthz, GET /info
 """
 
@@ -312,11 +312,17 @@ def main(argv=None) -> None:
                             max_new_tokens=overrides.get("max_new_tokens"))
         print(f"[qwen-tts-demo] warmup finished in {secs:.1f}s")
 
+    # only the availability probe may fall back: an ImportError raised
+    # INSIDE gradio UI construction must surface, not silently switch the
+    # server protocol
     try:
         import gradio  # noqa: F401
-
-        _launch_gradio(model, kind, overrides, args)
+        have_gradio = True
     except ImportError:
+        have_gradio = False
+    if have_gradio:
+        _launch_gradio(model, kind, overrides, args)
+    else:
         _HttpDemo(model, kind, overrides, args.concurrency).serve(
             args.ip, args.port, args.ssl_certfile, args.ssl_keyfile)
 

@@ -233,6 +233,8 @@ def _subtalker_kernel(x0_ref, cos_ref, sin_ref, gumbel_ref, projw_ref, projb_ref
         # to the (8, 128) tile, so DMA the aligned 8-row slab containing the
         # row (tables pre-flattened to (Qm1*V, Ht)) and one-hot-select inside.
         flat = codes + (i - 1) * V                             # (B,)
+        # the table is padded to a multiple of 8 rows at the call site, so
+        # the aligned 8-row slab of any valid id is always in bounds
         slab = (flat // 8) * 8
         for b in range(B):
             pltpu.make_async_copy(
@@ -347,8 +349,19 @@ def subtalker_frame_fused(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
       attn["q_norm"]["weight"], attn["k_norm"]["weight"],
       cp["norm"]["weight"][None, :],
       cp["lm_heads"].astype(jnp.bfloat16),
-      cp["embeddings"].astype(jnp.bfloat16).reshape(Qm1 * V, Ht))
+      _pad_rows_to_8(cp["embeddings"].astype(jnp.bfloat16)
+                     .reshape(Qm1 * V, Ht)))
     return codes, emb_sum[:, None, :]
+
+
+def _pad_rows_to_8(x):
+    """Pad a (N, H) table to N % 8 == 0: the kernel's embedding gather DMAs
+    the aligned 8-row slab containing each sampled row, which would read
+    past the buffer end on tables whose row count is not tile-aligned."""
+    import jax.numpy as _jnp
+
+    pad = (-x.shape[0]) % 8
+    return x if pad == 0 else _jnp.pad(x, ((0, pad), (0, 0)))
 
 
 # ---------------------------------------------------------------------------

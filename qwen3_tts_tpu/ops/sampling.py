@@ -57,8 +57,11 @@ def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
     sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # tokens with cumulative prob (exclusive of self) >= p are removed
+    # tokens with cumulative prob (exclusive of self) >= p are removed;
+    # the top token always survives (HF min_tokens_to_keep=1 — p<=0 must
+    # degrade to argmax, not to an all-masked uniform draw)
     keep_sorted = (cum - probs) < p
+    keep_sorted = keep_sorted.at[..., 0].set(True)
     # threshold logit = smallest kept logit
     kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1,
                   keepdims=True)
@@ -101,7 +104,8 @@ def process_and_sample(logits: jax.Array, key: jax.Array,
         if params.top_p < 1.0:
             probs = jax.nn.softmax(vals, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
-            vals = jnp.where((cum - probs) < params.top_p, vals, NEG_INF)
+            keep = ((cum - probs) < params.top_p).at[..., 0].set(True)
+            vals = jnp.where(keep, vals, NEG_INF)
         choice = jax.random.categorical(key, vals, axis=-1)
         return jnp.take_along_axis(idx, choice[:, None], axis=-1
                                    )[:, 0].astype(jnp.int32)

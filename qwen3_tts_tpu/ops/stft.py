@@ -67,12 +67,13 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
     return weights.astype(np.float32)
 
 
-def stft_magnitude(y: jax.Array, n_fft: int, hop_size: int, win_size: int,
+def stft_magnitude(y: jax.Array, n_fft: int, hop_size: int,
                    window: jax.Array) -> jax.Array:
     """Center=False magnitude STFT. y: (B, T) -> (B, n_fft//2+1, frames).
 
     Equivalent to torch.stft(..., center=False, onesided=True) followed by
-    sqrt(|.|^2 + 1e-9).
+    sqrt(|.|^2 + 1e-9).  `window` must be length n_fft (callers with a
+    shorter analysis window pre-pad it, as mel_spectrogram does).
     """
     B, T = y.shape
     n_frames = 1 + (T - n_fft) // hop_size
@@ -97,7 +98,7 @@ def mel_spectrogram(y: jax.Array, n_fft: int, num_mels: int,
     if win_size < n_fft:
         lpad = (n_fft - win_size) // 2
         window = jnp.pad(window, (lpad, n_fft - win_size - lpad))
-    mag = stft_magnitude(y, n_fft, hop_size, n_fft, window)
+    mag = stft_magnitude(y, n_fft, hop_size, window)
     basis = jnp.asarray(mel_filterbank(sampling_rate, n_fft, num_mels,
                                        fmin, fmax))
     mel = jnp.einsum("mf,bft->bmt", basis, mag)

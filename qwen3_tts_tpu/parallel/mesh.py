@@ -34,10 +34,13 @@ def make_mesh(dp: int = 1, tp: int = 1,
 # Path-pattern -> PartitionSpec for the *prepared* talker param tree
 # (prepare_talker_params layout).  Mirrors the reference TP plan.
 _TALKER_RULES = [
-    (r"layers/self_attn/qkv_proj/weight$", P(None, "tp", None)),
-    (r"layers/self_attn/o_proj/weight$", P(None, None, "tp")),
-    (r"layers/mlp/gate_up_proj/weight$", P(None, "tp", None)),
-    (r"layers/mlp/down_proj/weight$", P(None, None, "tp")),
+    # talker rules anchored at the tree root so the code_predictor rules
+    # below are reachable (re.search on an unanchored "layers/..." would
+    # shadow them)
+    (r"^layers/self_attn/qkv_proj/weight$", P(None, "tp", None)),
+    (r"^layers/self_attn/o_proj/weight$", P(None, None, "tp")),
+    (r"^layers/mlp/gate_up_proj/weight$", P(None, "tp", None)),
+    (r"^layers/mlp/down_proj/weight$", P(None, None, "tp")),
     (r"codec_head$", P("tp", None)),           # colwise_rep -> shard vocab
     (r"codec_embedding$", P(None, None)),
     (r"text_embedding$", P(None, None)),
@@ -51,9 +54,17 @@ _TALKER_RULES = [
 
 
 def _spec_for(path: str, rules) -> P:
+    # int8-quantized leaves live one level below the weight: .../weight/q
+    # carries the weight's spec, .../weight/s (per-output-row scales, last
+    # weight axis dropped) carries the spec minus its last entry
+    base, is_scale = path, False
+    if path.endswith("/q"):
+        base = path[:-2]
+    elif path.endswith("/s"):
+        base, is_scale = path[:-2], True
     for pat, spec in rules:
-        if re.search(pat, path):
-            return spec
+        if re.search(pat, base):
+            return P(*tuple(spec)[:-1]) if is_scale else spec
     return P()  # replicate
 
 

@@ -20,17 +20,23 @@ def warmup_model(model, prefill_buckets: Sequence[int] = (32, 64),
                  batch_sizes: Sequence[int] = (1,),
                  max_new_tokens: Optional[int] = None,
                  verbose: bool = True) -> float:
-    """Compile generate_frames for each (batch, prefill bucket) pair.
+    """Compile the generation program for each (batch, prefill bucket) pair,
+    routed exactly like `Qwen3TTSModel._run` (fused while_loop <= 1024
+    frames, chunked above — warming the OTHER program would leave live
+    traffic on a cold multi-minute compile).
 
     `model`: a Qwen3TTSModel. Returns total warmup seconds.
     """
-    from ..runtime.generate import generate_frames
+    from ..runtime.generate import generate_frames, generate_frames_chunked
 
     cfg = model.config.talker_config
     kw = model._merge_generate_kwargs()
     if max_new_tokens is not None:
         kw["max_new_tokens"] = max_new_tokens
     gen_cfg = model._generation_config(kw)
+    # mirror Qwen3TTSModel._run's path selection
+    run = (generate_frames_chunked if gen_cfg.max_new_tokens > 1024
+           else generate_frames)
 
     t0 = time.time()
     dtype = model.talker_params["codec_embedding"].dtype
@@ -41,8 +47,8 @@ def warmup_model(model, prefill_buckets: Sequence[int] = (32, 64),
             mask = jnp.ones((B, L), jnp.int32)
             trailing = jnp.zeros((B, 32, H), dtype)
             pad = jnp.zeros((1, 1, H), dtype)
-            out = generate_frames(model.talker_params, cfg, gen_cfg, embeds,
-                                  mask, trailing, pad, jax.random.PRNGKey(0))
+            out = run(model.talker_params, cfg, gen_cfg, embeds,
+                      mask, trailing, pad, jax.random.PRNGKey(0))
             np.asarray(out.lengths)
             if verbose:
                 print(f"[warmup] B={B} L={L} done at {time.time() - t0:.1f}s")

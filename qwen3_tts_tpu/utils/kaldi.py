@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from functools import lru_cache
+
 EPSILON = 1.1920928955078125e-07  # kaldi float epsilon
 
 
@@ -23,6 +25,29 @@ def _povey_window(n: int) -> np.ndarray:
 
 def _mel(hz):
     return 1127.0 * np.log(1.0 + hz / 700.0)
+
+
+@lru_cache(maxsize=8)
+def _kaldi_mel_bins(num_mel_bins: int, n_fft: int, sample_frequency: float,
+                    low_freq: float, high_freq: float) -> "np.ndarray":
+    """Kaldi-style triangular mel bank (cached: identical per config, and
+    fbank sits on the voice-clone hot path)."""
+    nyquist = sample_frequency / 2
+    high = high_freq if high_freq > 0 else nyquist + high_freq
+    mel_low, mel_high = _mel(np.array(low_freq)), _mel(np.array(high))
+    mel_delta = (mel_high - mel_low) / (num_mel_bins + 1)
+    fft_freqs = np.arange(n_fft // 2 + 1) * sample_frequency / n_fft
+    mel_freqs = _mel(fft_freqs)
+
+    bins = np.zeros((num_mel_bins, n_fft // 2 + 1))
+    for m in range(num_mel_bins):
+        left = mel_low + m * mel_delta
+        center = mel_low + (m + 1) * mel_delta
+        right = mel_low + (m + 2) * mel_delta
+        up = (mel_freqs - left) / (center - left)
+        down = (right - mel_freqs) / (right - center)
+        bins[m] = np.maximum(0.0, np.minimum(up, down))
+    return bins
 
 
 def fbank(waveform: np.ndarray, num_mel_bins: int = 80,
@@ -57,21 +82,8 @@ def fbank(waveform: np.ndarray, num_mel_bins: int = 80,
     spec = np.fft.rfft(frames, n=n_fft, axis=1)
     power = (spec.real ** 2 + spec.imag ** 2)
 
-    nyquist = sample_frequency / 2
-    high = high_freq if high_freq > 0 else nyquist + high_freq
-    mel_low, mel_high = _mel(np.array(low_freq)), _mel(np.array(high))
-    mel_delta = (mel_high - mel_low) / (num_mel_bins + 1)
-    fft_freqs = np.arange(n_fft // 2 + 1) * sample_frequency / n_fft
-    mel_freqs = _mel(fft_freqs)
-
-    bins = np.zeros((num_mel_bins, n_fft // 2 + 1))
-    for m in range(num_mel_bins):
-        left = mel_low + m * mel_delta
-        center = mel_low + (m + 1) * mel_delta
-        right = mel_low + (m + 2) * mel_delta
-        up = (mel_freqs - left) / (center - left)
-        down = (right - mel_freqs) / (right - center)
-        bins[m] = np.maximum(0.0, np.minimum(up, down))
+    bins = _kaldi_mel_bins(num_mel_bins, n_fft, sample_frequency,
+                           low_freq, high_freq)
     # kaldi excludes the nyquist bin from the banks
     bins[:, -1] = 0.0
 

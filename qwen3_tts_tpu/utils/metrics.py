@@ -114,8 +114,8 @@ def get_logger(name: str = "qwen3_tts_tpu",
         handler = _KVHandler(sys.stderr)
         handler.setFormatter(_KVFormatter())
         logger.addHandler(handler)
-        logger.setLevel(level)
         logger.propagate = False
+    logger.setLevel(level)   # honored on every call, not just the first
     return logger
 
 

@@ -96,6 +96,23 @@ def test_param_specs_follow_tp_plan():
     assert specs["codec_head"] == P("tp", None)
     assert specs["code_predictor"]["proj"] is None
 
+    # int8-quantized trees: q carries the weight spec, s drops the last axis
+    quant = {
+        "layers": {"self_attn": {"qkv_proj": {"weight": {"q": 0, "s": 0}}}},
+        "codec_head": {"q": 0, "s": 0},
+        "code_predictor": {"layers": {"mlp": {
+            "down_proj": {"weight": {"q": 0, "s": 0}}}}},
+    }
+    qspecs = talker_param_specs(quant)
+    qkv = qspecs["layers"]["self_attn"]["qkv_proj"]["weight"]
+    assert qkv["q"] == P(None, "tp", None)
+    assert qkv["s"] == P(None, "tp")
+    assert qspecs["codec_head"]["q"] == P("tp", None)
+    assert qspecs["codec_head"]["s"] == P("tp")
+    down = qspecs["code_predictor"]["layers"]["mlp"]["down_proj"]["weight"]
+    assert down["q"] == P(None, None, "tp")
+    assert down["s"] == P(None, None)
+
 
 @requires_reference
 def test_sharded_engine_matches_unsharded():

@@ -323,3 +323,25 @@ def test_chunked_generation_matches_while_loop():
                                       err_msg=f"chunk={chunk}")
         np.testing.assert_array_equal(np.asarray(got.codes), want_codes,
                                       err_msg=f"chunk={chunk}")
+
+
+def test_sample_top_p_zero_degrades_to_argmax():
+    """top_p<=0 keeps the single most probable token (HF
+    min_tokens_to_keep=1), on both the top-k fast path and the full-row
+    path — previously every candidate was masked and sampling went
+    uniform."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams, process_and_sample
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(0, 2, size=(3, 32)).astype(np.float32))
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    for k in (5, 0):   # fast path (0<k<V) and full-row path
+        params = SamplingParams(do_sample=True, top_k=k, top_p=0.0,
+                                temperature=0.9, repetition_penalty=1.0)
+        for seed in range(5):
+            got = np.asarray(process_and_sample(
+                logits, jax.random.PRNGKey(seed), params))
+            np.testing.assert_array_equal(got, want)
