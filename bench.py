@@ -131,7 +131,9 @@ def main():
     # this environment's TPU tunnel moves ~25 MB/s, so the fp32 waveform
     # transfer would otherwise dominate the measurement (production hosts
     # move it over PCIe in ~1 ms).
-    if M <= 300:
+    # full-length fp32 decode is bounded by TOTAL frames (B*M): the
+    # activation footprint at B=16 x 512 frames (~16G) OOMs a v5e
+    if B * M <= 16 * 300:
         vocode = jax.jit(
             lambda p, codes: to_pcm16(decode_frames(p, dec_cfg, codes)))
     else:
@@ -145,7 +147,7 @@ def main():
             return to_pcm16(chunked_decode(p, dec_cfg, codes, chunk_size=chunk,
                                            dtype=jnp.bfloat16))
 
-    # ---- (a) talker-only decode RTF, B=16 ----
+    # ---- (a) talker-only decode RTF ----
     _mark("talker warmup")
     _sync(talker_run(jax.random.PRNGKey(2)).codes)  # warmup / compile
     _mark("talker measured run")
@@ -157,7 +159,7 @@ def main():
     frames = int(lengths.sum())
     talker_rtf = frames * 0.08 / talker_wall
 
-    # ---- (b) end-to-end RTF: talker + full-size vocoder, B=16 ----
+    # ---- (b) end-to-end RTF: talker + full-size vocoder ----
     codes_bqt = jnp.swapaxes(out.codes, 1, 2)  # (B, Q, T)
     _mark("vocoder warmup")
     _sync(vocode(dec_params, codes_bqt))       # warmup / compile
@@ -261,8 +263,9 @@ def main():
         extra["serving_rtf_16slots"] = round(serving_rtf, 2)
     _mark("done")
     print(json.dumps({
-        "metric": "e2e_rtf_1b7_batch%d%s" % (
-            B, "_int8" if quant == "int8" else ""),
+        "metric": "e2e_rtf_%s_batch%d%s" % (
+            os.environ.get("BENCH_MODEL", "1b7"), B,
+            "_int8" if quant == "int8" else ""),
         "value": round(e2e_rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(e2e_rtf / 10.0, 3),

@@ -12,6 +12,13 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 
+def _is_step_dir(name: str) -> bool:
+    # a COMPLETED step dir is 'step_' + digits only; a save interrupted
+    # mid-write leaves an orbax temp dir ('step_XXXX.orbax-checkpoint-tmp-
+    # <ts>') that must neither count toward `keep` nor win latest_step
+    return name.startswith("step_") and name[len("step_"):].isdigit()
+
+
 def save_train_state(ckpt_dir: str, step: int, params, opt_state,
                      keep: int = 3) -> None:
     import orbax.checkpoint as ocp
@@ -20,8 +27,8 @@ def save_train_state(ckpt_dir: str, step: int, params, opt_state,
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, {"params": params, "opt_state": opt_state,
                           "step": step}, force=True)
-    # prune old checkpoints
-    entries = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    # prune old COMPLETED checkpoints
+    entries = sorted(d for d in os.listdir(ckpt_dir) if _is_step_dir(d))
     for stale in entries[:-keep]:
         import shutil
 
@@ -31,7 +38,7 @@ def save_train_state(ckpt_dir: str, step: int, params, opt_state,
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
-    entries = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    entries = sorted(d for d in os.listdir(ckpt_dir) if _is_step_dir(d))
     if not entries:
         return None
     return int(entries[-1].split("_")[1])

@@ -77,15 +77,22 @@ class TTSDataset:
             self._build_assistant_text(item["text"]))).reshape(-1)
         audio_codes = np.asarray(item["audio_codes"], dtype=np.int64)
 
-        wav, sr = load_audio(item["ref_audio"])
-        if sr != 24000:
-            wav = resample(wav, sr, 24000)
-            sr = 24000
-        n_mels = self.config.speaker_encoder_config.mel_dim
-        mel = np.asarray(mel_spectrogram(wav[None], n_fft=1024,
-                                         num_mels=n_mels,
-                                         sampling_rate=24000, hop_size=256,
-                                         win_size=1024, fmin=0, fmax=12000))
+        # single-speaker SFT reuses one ref_audio across all rows: cache
+        # the last file's mel instead of re-reading + re-STFT every step
+        if getattr(self, "_mel_cache_key", None) == item["ref_audio"]:
+            mel = self._mel_cache_val
+        else:
+            wav, sr = load_audio(item["ref_audio"])
+            if sr != 24000:
+                wav = resample(wav, sr, 24000)
+            n_mels = self.config.speaker_encoder_config.mel_dim
+            mel = np.asarray(mel_spectrogram(wav[None], n_fft=1024,
+                                             num_mels=n_mels,
+                                             sampling_rate=24000,
+                                             hop_size=256, win_size=1024,
+                                             fmin=0, fmax=12000))
+            self._mel_cache_key = item["ref_audio"]
+            self._mel_cache_val = mel
         return {
             "text_ids": text_ids[:-5][None, :],   # (1, t)
             "audio_codes": audio_codes,           # (t, Q)
@@ -146,6 +153,14 @@ class TTSDataset:
             codec_mask[i, 8 + tl - 1:8 + tl - 1 + cl] = True
             attention_mask[i, :8 + tl + cl] = True
 
+        mel_lens = {d["ref_mel"].shape[1] for d in batch}
+        if len(mel_lens) > 1:
+            # same constraint as the reference collate (dataset.py:206-207
+            # torch.cat would fail identically) but with a clear message
+            raise ValueError(
+                "all reference audios in a batch must have equal duration "
+                f"(got mel lengths {sorted(mel_lens)}); single-speaker SFT "
+                "should reuse one ref_audio")
         ref_mels = np.concatenate([d["ref_mel"] for d in batch], axis=0)
         return {
             "input_ids": input_ids,

@@ -43,8 +43,11 @@ class Qwen3TTSProcessor:
     def apply_chat_template(self, conversations, chat_template=None, **kwargs):
         if isinstance(conversations[0], dict):
             conversations = [conversations]
-        return self.tokenizer.apply_chat_template(conversations,
-                                                  chat_template, **kwargs)
+        # keyword, not positional: HF's signature is (conversation, tools=,
+        # documents=, chat_template=, ...) — positionally the template
+        # string would bind to `tools` and be silently ignored
+        return self.tokenizer.apply_chat_template(
+            conversations, chat_template=chat_template, **kwargs)
 
     @property
     def model_input_names(self):

@@ -32,6 +32,9 @@ int flac_rice_decode(const uint8_t *buf, size_t nbits, size_t *bitpos,
                     pos += 8;
                     q += 8;
                 }
+                /* the skip can land exactly on nbits: re-check before the
+                 * byte read below (one past the buffer otherwise) */
+                if (pos >= nbits) return -1;
             }
             uint8_t byte = buf[pos >> 3];
             if (byte & (0x80u >> (pos & 7))) {
