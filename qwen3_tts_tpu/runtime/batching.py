@@ -392,6 +392,11 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
     slot = jnp.arange(S)[None, :]
     kv_valid = state.kv_valid[:, :S] | (
         (slot >= state.prefill_len[:, None]) & (slot <= cache_index[:, None]))
+    if cfg.sliding_window is not None:
+        # index-based sliding window, exactly as talker_decode_step clamps
+        # (models/talker.py:391-396) — without this, a use_sliding_window
+        # checkpoint would diverge between generate_frames and the engine
+        kv_valid &= slot > (cache_index[:, None] - cfg.sliding_window)
     bias = mask_to_bias(kv_valid[:, None, None, :])
     position = state.seq_lens + state.t
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
@@ -522,7 +527,7 @@ class ContinuousBatchingEngine:
                  prefill_bucket: Optional[int] = None,
                  installs_per_tick: int = 4,
                  staging_rows: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, metrics=None):
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
@@ -573,8 +578,13 @@ class ContinuousBatchingEngine:
         # (they would otherwise stall run_until_drained: no chunk is ever
         # launched for an empty budget)
         self._instant: List[Completion] = []
+        # ids of zero-budget requests completed without entering the engine
+        # (kept until collected so the duplicate-id guard still sees them)
+        self._instant_ids: set = set()
+        # per-engine registry injectable so multiple engines (or an engine +
+        # StreamingSession) don't interleave counters in one namespace
         from ..utils.metrics import global_metrics
-        self.metrics = global_metrics()
+        self.metrics = metrics if metrics is not None else global_metrics()
 
     def _pad_fn(self, T: int, Tt_in: int):
         """Jitted per-(T, Tt_in) request padding — runs on device so request
@@ -600,6 +610,7 @@ class ContinuousBatchingEngine:
     def submit(self, req: Request) -> None:
         self.metrics.count("engine.submits")
         if (req.request_id in self.frames_acc
+                or req.request_id in self._instant_ids
                 or any(p[0] == req.request_id for p in self.pending)):
             # ids key frame attribution and staging-row reclaim; a duplicate
             # would silently merge two requests' frames
@@ -619,6 +630,7 @@ class ContinuousBatchingEngine:
             self._instant.append(Completion(
                 req.request_id,
                 np.zeros((0, self.cfg.num_code_groups), np.int64)))
+            self._instant_ids.add(req.request_id)
             return
         self.pending.append((req.request_id, e, m, tr,
                              min(req.trailing_len, self.max_trailing), mf))
@@ -765,6 +777,7 @@ class ContinuousBatchingEngine:
         fresh liveness."""
         completions: List[Completion] = list(self._instant)
         self._instant.clear()
+        self._instant_ids.clear()
         if self._stage_pending() == 0 and self.pending and self._unprocessed:
             # staging blocked on rows whose release we have not observed yet
             completions += self._process_oldest()

@@ -47,6 +47,10 @@ def _kaldi_mel_bins(num_mel_bins: int, n_fft: int, sample_frequency: float,
         up = (mel_freqs - left) / (center - left)
         down = (right - mel_freqs) / (right - center)
         bins[m] = np.maximum(0.0, np.minimum(up, down))
+    # kaldi excludes the nyquist bin from the banks; done here (not at the
+    # call site) so the cached array is never mutated by callers
+    bins[:, -1] = 0.0
+    bins.setflags(write=False)
     return bins
 
 
@@ -84,8 +88,5 @@ def fbank(waveform: np.ndarray, num_mel_bins: int = 80,
 
     bins = _kaldi_mel_bins(num_mel_bins, n_fft, sample_frequency,
                            low_freq, high_freq)
-    # kaldi excludes the nyquist bin from the banks
-    bins[:, -1] = 0.0
-
     feats = power @ bins.T
     return np.log(np.maximum(feats, EPSILON)).astype(np.float32)

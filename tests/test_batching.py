@@ -337,3 +337,64 @@ def test_engine_zero_frame_budget_completes_immediately():
     done = engine.run_until_drained(max_ticks=50)
     assert len(done) == 1 and done[0].request_id == 7
     assert done[0].codes.shape == (0, cfg.num_code_groups)
+
+
+def test_engine_sliding_window_matches_oneshot():
+    """use_sliding_window=True: the engine's per-slot attention clamp must
+    match talker_decode_step's (models/talker.py:391-396) so engine output
+    equals generate_frames under a sliding-window config (greedy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from qwen3_tts_tpu.runtime.generate import GenerationConfig, generate_frames
+    from qwen3_tts_tpu.utils.testing import random_talker_params
+
+    cfg = TalkerConfig(
+        vocab_size=1056, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, text_hidden_size=32, num_code_groups=3,
+        codec_eos_token_id=1050, codec_pad_id=1044, codec_bos_id=1045,
+        use_sliding_window=True, sliding_window=4,
+        code_predictor_config=CodePredictorConfig(
+            vocab_size=32, hidden_size=32, intermediate_size=48,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, num_code_groups=3))
+    assert cfg.sliding_window == 4
+    params = random_talker_params(cfg, jax.random.PRNGKey(3),
+                                  dtype=jnp.float32)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=12,  # > sliding_window so the clamp matters
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False))
+
+    rng = np.random.default_rng(9)
+    B, T, Tt, H = 2, 6, 4, cfg.hidden_size
+    embeds = rng.normal(0, 0.3, size=(B, T, H)).astype(np.float32)
+    mask = np.ones((B, T), np.int32)
+    trailing = rng.normal(0, 0.3, size=(B, Tt, H)).astype(np.float32)
+    pad = rng.normal(0, 0.3, size=(1, 1, H)).astype(np.float32)
+
+    want = _one_shot(params, cfg, gen_cfg, jnp.asarray(embeds),
+                     jnp.asarray(mask), jnp.asarray(trailing),
+                     jnp.asarray(pad))
+
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=Tt,
+                                      dtype=jnp.float32, prefill_bucket=T)
+    for b in range(B):
+        engine.submit(Request(
+            request_id=b,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1]),
+            attn_mask=jnp.asarray(mask[b:b + 1]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=Tt,
+            tts_pad=jnp.asarray(pad),
+            max_frames=gen_cfg.max_new_tokens - 1))
+    got = {c.request_id: c.codes for c in engine.run_until_drained()}
+    assert set(got) == set(range(B))
+    for b in range(B):
+        np.testing.assert_array_equal(got[b], want[b])
