@@ -32,6 +32,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("checkpoint", type=str, help="model checkpoint directory")
     p.add_argument("--dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="weight-only quantization; int8 also routes the "
+                        "sub-talker onto the fused Pallas kernel (fastest)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="store the talker KV cache as int8 (halves decode "
+                        "attention HBM reads; wins at long generations)")
+    p.add_argument("--no-fused-subtalker", action="store_true",
+                   help="keep the XLA sub-talker scan even with --quantize "
+                        "int8 (debugging / numerics A-B)")
     p.add_argument("--ip", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--share", action="store_true")
@@ -68,6 +78,10 @@ def _gen_overrides(args) -> Dict[str, Any]:
         out["repetition_penalty"] = args.repetition_penalty
     if args.no_sample:
         out["do_sample"] = False
+    if args.kv_quant:
+        out["kv_quant"] = True
+    if args.no_fused_subtalker:
+        out["fused_subtalker"] = False
     return out
 
 
@@ -302,7 +316,8 @@ def main(argv=None) -> None:
     from ..inference.model import Qwen3TTSModel
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = Qwen3TTSModel.from_pretrained(args.checkpoint, dtype=dtype)
+    model = Qwen3TTSModel.from_pretrained(args.checkpoint, dtype=dtype,
+                                          quantize=args.quantize)
     kind = _detect_model_kind(model)
     overrides = _gen_overrides(args)
     if args.warmup:

@@ -128,13 +128,19 @@ def load_voice_clone_prompts(path: str) -> List["VoiceClonePromptItem"]:
 class Qwen3TTSModel:
     def __init__(self, config: TTSModelConfig, talker_params,
                  speaker_encoder_params=None, speech_tokenizer=None,
-                 processor=None, generate_defaults: Optional[Dict] = None):
+                 processor=None, generate_defaults: Optional[Dict] = None,
+                 quantized: Optional[str] = None):
         self.config = config
         self.talker_params = talker_params
         self.speaker_encoder_params = speaker_encoder_params
         self.speech_tokenizer = speech_tokenizer
         self.processor = processor
         self.generate_defaults = generate_defaults or {}
+        # weight quantization mode ("int8" or None): int8 loads default onto
+        # the fused sub-talker Pallas megakernel, the fastest measured decode
+        # configuration (docs/DESIGN.md §9) — the public API must hit the
+        # same path bench.py measures
+        self.quantized = quantized
 
         tc = config.talker_config
         self.supported_speakers = list((tc.spk_id or {}).keys())
@@ -199,7 +205,7 @@ class Qwen3TTSModel:
                 gen_defaults = json.load(f)
 
         return cls(config, talker_params, spk_params, speech_tokenizer,
-                   processor, gen_defaults)
+                   processor, gen_defaults, quantized=quantize)
 
     # ------------------------------------------------------------------
     # Helpers
@@ -271,6 +277,22 @@ class Qwen3TTSModel:
         return merged
 
     def _generation_config(self, kw: Dict[str, Any]) -> GenerationConfig:
+        # perf knobs ride the generate kwargs like the reference's
+        # attn_implementation rides from_pretrained (reference
+        # qwen3_tts_model.py:82-121): int8-quantized loads default onto the
+        # fused sub-talker kernel — the fastest configuration must be what
+        # the public API runs, not a bench-only code path
+        sub_top_p = float(kw["subtalker_top_p"])
+        fused_default = self.quantized == "int8" and sub_top_p >= 1.0
+        fused = bool(kw.get("fused_subtalker", fused_default))
+        if fused and self.quantized != "int8":
+            raise ValueError(
+                "fused_subtalker=True requires int8 weights; load with "
+                "from_pretrained(..., quantize='int8')")
+        if fused and sub_top_p < 1.0:
+            raise ValueError(
+                "fused_subtalker=True does not support subtalker_top_p < 1 "
+                "(pass fused_subtalker=False or drop subtalker_top_p)")
         return GenerationConfig(
             max_new_tokens=int(kw["max_new_tokens"]),
             min_new_tokens=int(kw.get("min_new_tokens", 2)),
@@ -284,6 +306,8 @@ class Qwen3TTSModel:
                 top_p=float(kw["subtalker_top_p"]),
                 temperature=float(kw["subtalker_temperature"]),
                 repetition_penalty=1.0),
+            fused_subtalker=fused,
+            kv_quant=bool(kw.get("kv_quant", False)),
         )
 
     def _run(self, specs: List[PromptSpec], gen_cfg: GenerationConfig,

@@ -221,3 +221,55 @@ def test_stream_voice_design(tmp_path):
         text="designed stream", instruct="a deep calm narrator", seed=1))
     assert len(chunks) >= 1
     assert all(np.isfinite(c[0]).all() for c in chunks)
+
+
+def test_fast_path_defaults_and_overrides(tiny_checkpoint):
+    """int8 loads must route the public API onto the fused sub-talker path
+    by default (the configuration bench.py measures), with generate-kwarg
+    overrides for fused_subtalker / kv_quant (VERDICT r2 item 1)."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+
+    quant = Qwen3TTSModel.from_pretrained(tiny_checkpoint, dtype=jnp.float32,
+                                          quantize="int8")
+    full = Qwen3TTSModel.from_pretrained(tiny_checkpoint, dtype=jnp.float32)
+
+    gc = quant._generation_config(quant._merge_generate_kwargs())
+    assert gc.fused_subtalker and not gc.kv_quant
+
+    gc = quant._generation_config(quant._merge_generate_kwargs(
+        fused_subtalker=False, kv_quant=True))
+    assert not gc.fused_subtalker and gc.kv_quant
+
+    # top_p < 1 in the sub-talker is unsupported by the fused kernel:
+    # default silently falls back, explicit request raises
+    gc = quant._generation_config(quant._merge_generate_kwargs(
+        subtalker_top_p=0.9))
+    assert not gc.fused_subtalker
+    with pytest.raises(ValueError, match="subtalker_top_p"):
+        quant._generation_config(quant._merge_generate_kwargs(
+            subtalker_top_p=0.9, fused_subtalker=True))
+
+    # bf16 loads stay on the XLA scan; forcing fused without int8 raises
+    gc = full._generation_config(full._merge_generate_kwargs())
+    assert not gc.fused_subtalker
+    with pytest.raises(ValueError, match="int8"):
+        full._generation_config(full._merge_generate_kwargs(
+            fused_subtalker=True))
+
+
+def test_demo_cli_fast_path_flags():
+    """--quantize/--kv-quant/--no-fused-subtalker reach the generate kwargs."""
+    from qwen3_tts_tpu.cli.demo import _gen_overrides, build_parser
+
+    args = build_parser().parse_args(
+        ["ckpt", "--quantize", "int8", "--kv-quant", "--no-fused-subtalker"])
+    assert args.quantize == "int8"
+    ov = _gen_overrides(args)
+    assert ov["kv_quant"] is True and ov["fused_subtalker"] is False
+
+    args = build_parser().parse_args(["ckpt"])
+    assert args.quantize is None
+    ov = _gen_overrides(args)
+    assert "kv_quant" not in ov and "fused_subtalker" not in ov
