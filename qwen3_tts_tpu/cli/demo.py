@@ -57,6 +57,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-sample", action="store_true")
     p.add_argument("--warmup", action="store_true",
                    help="precompile standard shapes before serving")
+    # engine serving (HTTP fallback server): concurrent requests share the
+    # continuous-batching engine instead of serializing static generate calls
+    p.add_argument("--no-engine", action="store_true",
+                   help="serve HTTP requests through the static generate "
+                        "path instead of the continuous-batching engine")
+    p.add_argument("--num-slots", type=int, default=8,
+                   help="engine decode slots (concurrent sequences)")
+    p.add_argument("--prefill-bucket", type=int, default=128,
+                   help="engine max prompt length (token positions)")
     return p
 
 
@@ -99,17 +108,59 @@ def _wav_b64(wav, sr: int) -> str:
 
 
 class _HttpDemo:
-    """Stdlib HTTP fallback server."""
+    """Stdlib HTTP fallback server.
+
+    With `engine` set (a runtime.server.ThreadedTTSServer), /tts requests run
+    concurrently through the continuous-batching engine — the serving layer
+    the reference delegates to external vLLM-Omni (README.md:432-457) — and
+    /tts_stream streams chunked 16-bit PCM per request.  Without it, requests
+    serialize through the static generate path under a semaphore."""
 
     def __init__(self, model, kind: str, overrides: Dict[str, Any],
-                 concurrency: int = 2):
+                 concurrency: int = 2, engine=None):
         self.model = model
         self.kind = kind
         self.overrides = overrides
         self.lock = threading.Semaphore(concurrency)
+        self.engine = engine
+
+    def _engine_kwargs(self, task: str, payload: Dict[str, Any]
+                       ) -> Dict[str, Any]:
+        """Payload -> submit_<task> kwargs.  Engine sampling parameters are
+        per-engine (jit-static), so per-request sampling overrides are
+        ignored here; max_new_tokens maps to the per-request frame budget."""
+        keys = {
+            "custom_voice": ("text", "speaker", "language", "instruct"),
+            "voice_design": ("text", "instruct", "language"),
+            "voice_clone": ("text", "language", "ref_audio", "ref_text",
+                            "x_vector_only_mode"),
+        }
+        if task not in keys:
+            raise ValueError(f"unknown task {task}")
+        kw = {k: payload[k] for k in keys[task] if k in payload}
+        if "max_new_tokens" in payload:
+            kw["max_frames"] = int(payload["max_new_tokens"]) - 1
+        return kw
+
+    def handle_stream(self, payload: Dict[str, Any]):
+        """Generator of (pcm16 bytes, sample_rate) chunks via the engine."""
+        if self.engine is None:
+            raise ValueError("streaming requires engine serving "
+                             "(run without --no-engine)")
+        import numpy as np
+
+        task = payload.get("task", self.kind)
+        kw = self._engine_kwargs(task, payload)
+        for pkt in self.engine.synthesize_stream(task, **kw):
+            pcm = np.clip(pkt.wav, -1.0, 1.0)
+            yield ((pcm * 32767.0).astype("<i2").tobytes(), pkt.sample_rate)
 
     def handle(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         task = payload.get("task", self.kind)
+        if self.engine is not None:
+            wav, sr = self.engine.synthesize(
+                task, **self._engine_kwargs(task, payload))
+            return {"sample_rate": sr, "wavs_b64": [_wav_b64(wav, sr)]}
         kwargs = dict(self.overrides)
         kwargs.update({k: payload[k] for k in
                        ("max_new_tokens", "top_k", "top_p", "temperature",
@@ -169,16 +220,53 @@ class _HttpDemo:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/tts":
+                if self.path not in ("/tts", "/tts_stream"):
                     self._json(404, {"error": "not found"})
                     return
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(length) or b"{}")
-                    self._json(200, demo.handle(payload))
-                except Exception as e:  # surface errors like the reference UI
+                except Exception as e:
                     self._json(400, {"error": type(e).__name__,
                                      "detail": str(e)})
+                    return
+                if self.path == "/tts":
+                    try:
+                        self._json(200, demo.handle(payload))
+                    except Exception as e:  # surface errors like the ref UI
+                        self._json(400, {"error": type(e).__name__,
+                                         "detail": str(e)})
+                    return
+                # /tts_stream: chunked 16-bit little-endian PCM
+                try:
+                    gen = demo.handle_stream(payload)
+                    first = next(gen, None)
+                except Exception as e:
+                    self._json(400, {"error": type(e).__name__,
+                                     "detail": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/L16")
+                sr = first[1] if first else 0
+                self.send_header("X-Sample-Rate", str(sr))
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    if data:
+                        self.wfile.write(b"%x\r\n" % len(data))
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+                        self.wfile.flush()
+
+                try:
+                    if first:
+                        chunk(first[0])
+                    for pcm, _ in gen:
+                        chunk(pcm)
+                finally:
+                    self.wfile.write(b"0\r\n\r\n")
+                    self.wfile.flush()
 
             def log_message(self, fmt, *args):
                 print(f"[qwen-tts-demo] {fmt % args}", file=sys.stderr)
@@ -337,9 +425,21 @@ def main(argv=None) -> None:
         have_gradio = False
     if have_gradio:
         _launch_gradio(model, kind, overrides, args)
-    else:
-        _HttpDemo(model, kind, overrides, args.concurrency).serve(
-            args.ip, args.port, args.ssl_certfile, args.ssl_keyfile)
+        return
+    engine = None
+    if not args.no_engine:
+        try:
+            from ..runtime.server import ThreadedTTSServer, TTSServer
+
+            engine = ThreadedTTSServer(TTSServer(
+                model, num_slots=args.num_slots,
+                prefill_bucket=args.prefill_bucket, overrides=overrides))
+            print(f"[qwen-tts-demo] engine serving: {args.num_slots} slots")
+        except Exception as e:
+            print(f"[qwen-tts-demo] engine unavailable ({e}); "
+                  "falling back to static path")
+    _HttpDemo(model, kind, overrides, args.concurrency, engine=engine).serve(
+        args.ip, args.port, args.ssl_certfile, args.ssl_keyfile)
 
 
 if __name__ == "__main__":

@@ -581,6 +581,11 @@ class ContinuousBatchingEngine:
         # ids of zero-budget requests completed without entering the engine
         # (kept until collected so the duplicate-id guard still sees them)
         self._instant_ids: set = set()
+        # optional streaming egress hook: called as frame_sink(request_id,
+        # frames (k, Q) int) with newly attributed frames, in generation
+        # order, during each chunk-aux sync — the text-level server layers
+        # per-request vocoder packets on top of this (runtime/server.py)
+        self.frame_sink = None
         # per-engine registry injectable so multiple engines (or an engine +
         # StreamingSession) don't interleave counters in one namespace
         from ..utils.metrics import global_metrics
@@ -733,12 +738,15 @@ class ContinuousBatchingEngine:
             aux_np, self.num_slots, ticks,
             self.cfg.num_code_groups, self.state.staged_valid.shape[0])
         completions: List[Completion] = []
+        sink_frames: Dict[int, List[np.ndarray]] = {}
         order = np.argwhere(emit | finished)
         # attribute in tick order so multi-request slot reuse stays coherent
         for slot, t in sorted(order.tolist(), key=lambda st: (st[1], st[0])):
             rid = int(req_id[slot, t])
             if emit[slot, t]:
                 self.frames_acc[rid].append(frames[slot, t])
+                if self.frame_sink is not None:
+                    sink_frames.setdefault(rid, []).append(frames[slot, t])
             if finished[slot, t]:
                 acc = self.frames_acc.pop(rid, [])
                 self.req_max_frames.pop(rid, None)
@@ -751,6 +759,9 @@ class ContinuousBatchingEngine:
         # (re)staged reports the previous occupant's rid (or -1), so its
         # invalidation must not free the new request (it would be
         # overwritten by the next stage_requests and silently dropped).
+        if self.frame_sink is not None:
+            for rid, fl in sink_frames.items():
+                self.frame_sink(rid, np.stack(fl))
         for r in [r for r, rid in self.staged_rows_busy.items()
                   if not staged_valid[r] and staged_rid[r] == rid]:
             del self.staged_rows_busy[r]

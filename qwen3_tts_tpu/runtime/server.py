@@ -1,0 +1,431 @@
+"""Text-in → audio-out serving over the continuous-batching engine.
+
+The reference outsources high-performance serving to external vLLM-Omni
+(reference README.md:432-457); its own demo serializes requests through a
+Gradio queue.  This module owns that layer: it bridges the public text API
+(`Qwen3TTSModel` prompt assembly) into `ContinuousBatchingEngine` and turns
+the engine's per-tick frames into per-request audio:
+
+  text request ─ build_prompt ─► engine (staged prefill, slot decode)
+       ─ frame_sink ─► per-request code history ─► batched chunk vocoder
+       ─► AudioPacket stream / AudioResult
+
+Egress design (TPU-shaped):
+- ONE fixed-shape vocoder program per emission: every due request becomes a
+  row of a (num_slots, Q, left_context + packet_frames) batch; per-row
+  context length c_i = min(25, frames already decoded) occupies the row's
+  prefix, the new k_i frames follow, the tail is zero (the vocoder stack is
+  causal, so right padding never reaches the emitted samples
+  [c_i*up, (c_i+k_i)*up)).  This keeps the per-request semantics of
+  `StreamingSession` (reference chunked_decode left-context-25 semantics,
+  modeling...v2.py:886-896) while paying one program launch + one D2H sync
+  for the whole wave — per-request vocode calls would burn a ~32 ms host
+  round trip each on tunnel-attached chips.
+- Packets are cut on a global cadence (`packet_frames`, default 25 = 2 s of
+  audio) with an immediate first packet per request for latency; completions
+  flush the remainder.
+- Voice-clone requests use their reference codes as per-request vocoder
+  left context (so clone timbre survives into the first packet) — and since
+  context is per row, mixed ICL / x-vector waves keep per-request context.
+
+Non-streaming requests skip packet egress entirely: their codes decode once
+at completion through `Qwen3TTSTokenizer.decode` (ref-code prepend and the
+proportional wav-prefix cut for clones, reference qwen3_tts_model.py:612-632).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.codec12.decoder import decode_frames as vocoder_decode
+from .batching import ContinuousBatchingEngine, Request
+from .generate import GenerationConfig
+
+
+@dataclass
+class AudioPacket:
+    """One streamed audio chunk for one request."""
+
+    request_id: Any
+    wav: np.ndarray        # (samples,) float32
+    sample_rate: int
+    frame_start: int       # first generated-frame index covered
+    frame_count: int
+    final: bool            # True on the request's last packet
+
+
+@dataclass
+class AudioResult:
+    """Final synthesis of a non-streaming request."""
+
+    request_id: Any
+    wav: np.ndarray        # (samples,) float32
+    sample_rate: int
+
+
+@dataclass
+class _ReqState:
+    request_id: Any
+    stream: bool
+    # full code history (list of (Q,) frames): ctx0 pre-existing context
+    # frames (clone refs) followed by generated frames
+    history: List[np.ndarray] = field(default_factory=list)
+    ctx0: int = 0
+    emitted: int = 0          # generated frames already vocoded into packets
+    ref_code: Optional[np.ndarray] = None   # full ref codes (clone decode)
+    done: bool = False
+    first_sent: bool = False
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _vocode_rows(dec_params, cfg, codes):
+    """codes (N, Q, T) int32 -> (N, T*up) float32 (full rows; callers slice
+    per-row [c_i*up, (c_i+k_i)*up))."""
+    wav = vocoder_decode(dec_params, cfg, jnp.clip(codes, 0, None))
+    return wav[:, 0, :]
+
+
+class TTSServer:
+    """Single-threaded text-level server: submit_* then step()/drain().
+
+    Construct via `TTSServer(model, ...)` from a loaded `Qwen3TTSModel`
+    (the speech tokenizer must carry the 12 Hz vocoder).  All JAX work stays
+    on the calling thread; wrap with `ThreadedTTSServer` for concurrent
+    producers (HTTP handlers).
+    """
+
+    def __init__(self, model, num_slots: int = 16,
+                 max_new_tokens: Optional[int] = None,
+                 prefill_bucket: int = 128,
+                 max_trailing: int = 512,
+                 packet_frames: int = 25,
+                 left_context: int = 25,
+                 ticks_per_sync: int = 8,
+                 seed: int = 0,
+                 overrides: Optional[Dict[str, Any]] = None,
+                 metrics=None,
+                 **engine_kwargs):
+        tok = model.speech_tokenizer
+        if tok is None or tok.dec_params is None:
+            raise RuntimeError(
+                "TTSServer requires a loaded 12Hz speech tokenizer (vocoder)")
+        self.model = model
+        kw = model._merge_generate_kwargs(**(overrides or {}))
+        if max_new_tokens is not None:
+            kw["max_new_tokens"] = max_new_tokens
+        self.gen_cfg: GenerationConfig = model._generation_config(kw)
+        self.dec_params = tok.dec_params
+        self.dec_cfg = tok.config.decoder_config
+        self.sample_rate = tok.get_output_sample_rate()
+        self.up = int(self.dec_cfg.total_upsample)
+        self.packet_frames = int(packet_frames)
+        self.left_context = int(left_context)
+        self.num_slots = num_slots
+        dtype = model.talker_params["codec_embedding"].dtype
+        max_len = prefill_bucket + self.gen_cfg.max_new_tokens + 8
+        self.engine = ContinuousBatchingEngine(
+            model.talker_params, model.config.talker_config, self.gen_cfg,
+            num_slots=num_slots, max_len=max_len, max_trailing=max_trailing,
+            dtype=dtype, seed=seed, ticks_per_sync=ticks_per_sync,
+            prefill_bucket=prefill_bucket, metrics=metrics, **engine_kwargs)
+        self.engine.frame_sink = self._on_frames
+        self.metrics = self.engine.metrics
+        self._states: Dict[int, _ReqState] = {}
+        self._by_user_id: Dict[Any, int] = {}
+        self._next_rid = 0
+        self._Q = model.config.talker_config.num_code_groups
+
+    # -- submission ------------------------------------------------------
+
+    def _submit_specs(self, request_id, specs, stream: bool,
+                      ref_code: Optional[np.ndarray],
+                      max_frames: Optional[int]) -> None:
+        from .prompts import build_prompt
+
+        if request_id in self._by_user_id:
+            raise ValueError(f"request id {request_id!r} already in flight")
+        (spec,) = specs
+        tc = self.model.config.talker_config
+        prompt, trailing, pad = build_prompt(self.model.talker_params, tc,
+                                             self.model.config, spec)
+        rid = self._next_rid
+        self._next_rid += 1
+        st = _ReqState(request_id=request_id, stream=stream,
+                       ref_code=ref_code)
+        if stream and ref_code is not None and len(ref_code):
+            ctx = np.asarray(ref_code[-self.left_context:], np.int32)
+            st.history = [f for f in ctx]
+            st.ctx0 = len(st.history)
+        mf = self.gen_cfg.max_new_tokens - 1
+        if max_frames is not None:
+            mf = min(mf, int(max_frames))
+        # engine.submit may reject (prompt longer than the prefill bucket):
+        # only record server-side state once the engine accepted the request
+        self.engine.submit(Request(
+            request_id=rid,
+            inputs_embeds=prompt,
+            attn_mask=jnp.ones((1, prompt.shape[1]), jnp.int32),
+            trailing=trailing,
+            trailing_len=trailing.shape[1],
+            tts_pad=pad,
+            max_frames=mf))
+        self._states[rid] = st
+        self._by_user_id[request_id] = rid
+        self.metrics.count("server.submits")
+
+    def submit_custom_voice(self, request_id, text: str, speaker: str,
+                            language: Optional[str] = None,
+                            instruct: Optional[str] = None,
+                            stream: bool = False,
+                            max_frames: Optional[int] = None) -> None:
+        specs = self.model._specs_custom_voice(
+            text, speaker, language, instruct, non_streaming=False)
+        self._submit_specs(request_id, specs, stream, None, max_frames)
+
+    def submit_voice_design(self, request_id, text: str, instruct: str,
+                            language: Optional[str] = None,
+                            stream: bool = False,
+                            max_frames: Optional[int] = None) -> None:
+        specs = self.model._specs_voice_design(
+            text, instruct, language, non_streaming=False)
+        self._submit_specs(request_id, specs, stream, None, max_frames)
+
+    def submit_voice_clone(self, request_id, text: str,
+                           language: Optional[str] = None,
+                           ref_audio=None, ref_text: Optional[str] = None,
+                           x_vector_only_mode: bool = False,
+                           voice_clone_prompt=None,
+                           stream: bool = False,
+                           max_frames: Optional[int] = None) -> None:
+        specs, items = self.model._specs_voice_clone(
+            text, language, ref_audio, ref_text, x_vector_only_mode,
+            voice_clone_prompt, non_streaming=False)
+        ref_code = items[0].ref_code
+        self._submit_specs(request_id, specs, stream,
+                           None if ref_code is None else np.asarray(ref_code),
+                           max_frames)
+
+    # -- engine egress ---------------------------------------------------
+
+    def _on_frames(self, rid: int, frames: np.ndarray) -> None:
+        st = self._states.get(rid)
+        if st is not None:
+            st.history.extend(frames.astype(np.int32))
+
+    def _pending(self, st: _ReqState) -> int:
+        return len(st.history) - st.ctx0 - st.emitted
+
+    def _due(self, st: _ReqState) -> bool:
+        if not st.stream:
+            return False
+        if st.done:
+            return True     # drain remainder (possibly an empty final packet)
+        p = self._pending(st)
+        if p <= 0:
+            return False
+        return p >= self.packet_frames or not st.first_sent
+
+    def _emit_packets(self) -> List[AudioPacket]:
+        """Vocode every due request as one fixed-shape batched program."""
+        out: List[AudioPacket] = []
+        while True:
+            due = [st for st in self._states.values() if self._due(st)]
+            if not due:
+                return out
+            due = due[:self.num_slots]
+            T = self.left_context + self.packet_frames
+            batch = np.zeros((self.num_slots, self._Q, T), np.int32)
+            meta = []
+            for i, st in enumerate(due):
+                c = min(self.left_context, st.ctx0 + st.emitted)
+                k = min(self._pending(st), self.packet_frames)
+                lo = st.ctx0 + st.emitted - c
+                if c + k > 0:
+                    rows = np.stack(st.history[lo:lo + c + k])   # (c+k, Q)
+                    batch[i, :, :c + k] = rows.T
+                meta.append((st, c, k))
+            with self.metrics.time("server.vocode_s"):
+                wav = np.asarray(_vocode_rows(self.dec_params, self.dec_cfg,
+                                              jnp.asarray(batch)))
+            for i, (st, c, k) in enumerate(meta):
+                final = st.done and (self._pending(st) == k)
+                out.append(AudioPacket(
+                    request_id=st.request_id,
+                    wav=wav[i, c * self.up:(c + k) * self.up].astype(np.float32),
+                    sample_rate=self.sample_rate,
+                    frame_start=st.emitted, frame_count=k, final=final))
+                st.emitted += k
+                st.first_sent = True
+                self.metrics.count("server.packets")
+            # drop fully drained finished requests
+            for st, _, _ in meta:
+                if st.done and self._pending(st) == 0:
+                    rid = self._by_user_id.pop(st.request_id)
+                    del self._states[rid]
+
+    def _finish_results(self, completions) -> List[AudioResult]:
+        """Decode non-streaming completions (batched) and flag streaming
+        completions for the final packet flush."""
+        results: List[AudioResult] = []
+        decode_batch = []
+        for c in completions:
+            st = self._states.get(c.request_id)
+            if st is None:
+                continue
+            st.done = True
+            if st.stream:
+                continue
+            codes = np.asarray(c.codes, np.int64)
+            ref_len = 0
+            if st.ref_code is not None:
+                ref = np.asarray(st.ref_code, np.int64)
+                codes = np.concatenate([ref, codes], axis=0)
+                ref_len = len(ref)
+            decode_batch.append((st, codes, ref_len))
+        if decode_batch:
+            with self.metrics.time("server.decode_s"):
+                wavs, sr = self.model.speech_tokenizer.decode(
+                    [{"audio_codes": c} for _, c, _ in decode_batch])
+            for (st, codes, ref_len), wav in zip(decode_batch, wavs):
+                if ref_len:
+                    # proportional ref-prefix cut (reference 612-632)
+                    cut = int(ref_len / max(len(codes), 1) * wav.shape[0])
+                    wav = wav[cut:]
+                results.append(AudioResult(st.request_id, wav, sr))
+                rid = self._by_user_id.pop(st.request_id)
+                del self._states[rid]
+                self.metrics.count("server.results")
+        return results
+
+    # -- driving ---------------------------------------------------------
+
+    def step(self) -> List[Union[AudioPacket, AudioResult]]:
+        """One engine step + egress. Returns packets and results in order."""
+        completions = self.engine.step()
+        events: List[Union[AudioPacket, AudioResult]] = []
+        events.extend(self._finish_results(completions))
+        events.extend(self._emit_packets())
+        return events
+
+    @property
+    def busy(self) -> bool:
+        return bool(self._states or self.engine.pending
+                    or self.engine.frames_acc)
+
+    def run_until_drained(self, max_steps: int = 100000
+                          ) -> List[Union[AudioPacket, AudioResult]]:
+        out: List[Union[AudioPacket, AudioResult]] = []
+        for _ in range(max_steps):
+            out.extend(self.step())
+            if not self.busy:
+                return out
+        raise RuntimeError("server did not drain within max_steps")
+
+
+class ThreadedTTSServer:
+    """Thread-safe wrapper: producers submit from any thread; a dedicated
+    worker thread owns all JAX/engine work and fans events out to
+    per-request queues.
+
+    Usage (blocking):      wav, sr = srv.synthesize(task, **kwargs)
+    Usage (streaming):     for pkt in srv.synthesize_stream(task, **kwargs)
+    """
+
+    def __init__(self, server: TTSServer):
+        import queue
+        import threading
+
+        self.server = server
+        self._submit_q: "queue.Queue" = queue.Queue()
+        self._sinks: Dict[Any, "queue.Queue"] = {}
+        self._lock = threading.Lock()
+        self._next_id = 0
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop = True
+        self._thread.join(timeout=30)
+
+    def _loop(self) -> None:
+        import queue as _queue
+        import time
+
+        while not self._stop:
+            worked = False
+            while True:
+                try:
+                    task, rid, kwargs, sink = self._submit_q.get_nowait()
+                except _queue.Empty:
+                    break
+                try:
+                    submit = getattr(self.server, f"submit_{task}")
+                    submit(rid, **kwargs)
+                    with self._lock:
+                        self._sinks[rid] = sink
+                except Exception as e:  # surface per request, server stays up
+                    sink.put(e)
+                worked = True
+            if self.server.busy:
+                try:
+                    events = self.server.step()
+                except Exception as e:
+                    # a poisoned engine step fails every in-flight request;
+                    # deliver the error instead of hanging their sinks
+                    with self._lock:
+                        sinks, self._sinks = self._sinks, {}
+                    for sink in sinks.values():
+                        sink.put(e)
+                    events = []
+                for ev in events:
+                    with self._lock:
+                        sink = self._sinks.get(ev.request_id)
+                    if sink is not None:
+                        sink.put(ev)
+                        if isinstance(ev, AudioResult) or (
+                                isinstance(ev, AudioPacket) and ev.final):
+                            sink.put(None)        # end-of-stream marker
+                            with self._lock:
+                                self._sinks.pop(ev.request_id, None)
+                worked = True
+            if not worked:
+                time.sleep(0.002)
+
+    def _submit(self, task: str, stream: bool, kwargs) -> "Any":
+        import queue
+
+        with self._lock:
+            rid = self._next_id
+            self._next_id += 1
+        sink: "queue.Queue" = queue.Queue()
+        kwargs = dict(kwargs, stream=stream)
+        self._submit_q.put((task, rid, kwargs, sink))
+        return sink
+
+    def synthesize(self, task: str, timeout: float = 600.0, **kwargs):
+        """Blocking non-streaming synthesis -> (wav, sample_rate)."""
+        sink = self._submit(task, stream=False, kwargs=kwargs)
+        ev = sink.get(timeout=timeout)
+        if isinstance(ev, Exception):
+            raise ev
+        assert isinstance(ev, AudioResult)
+        sink.get(timeout=timeout)   # end-of-stream marker
+        return ev.wav, ev.sample_rate
+
+    def synthesize_stream(self, task: str, timeout: float = 600.0, **kwargs):
+        """Generator of AudioPacket for one request."""
+        sink = self._submit(task, stream=True, kwargs=kwargs)
+        while True:
+            ev = sink.get(timeout=timeout)
+            if ev is None:
+                return
+            if isinstance(ev, Exception):
+                raise ev
+            yield ev

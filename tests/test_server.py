@@ -1,0 +1,227 @@
+"""Text-in → audio-out serving front end (runtime/server.py): the engine
+bridge must reproduce the public-API generation per request, stream
+per-request packets, and serve concurrent HTTP requests through one engine."""
+
+import numpy as np
+import pytest
+
+from tests._reference import reference_available
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted")
+
+
+@pytest.fixture(scope="module")
+def cv_model(tmp_path_factory):
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from tests._fixtures import make_tiny_checkpoint
+    from tests.test_inference_api import FakeTokenizer
+
+    ckpt = make_tiny_checkpoint(tmp_path_factory.mktemp("srv_ckpt"))
+    model = Qwen3TTSModel.from_pretrained(ckpt, dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+    return model
+
+
+def _server(model, **kw):
+    from qwen3_tts_tpu.runtime.server import TTSServer
+
+    kw.setdefault("num_slots", 2)
+    kw.setdefault("prefill_bucket", 32)
+    kw.setdefault("max_trailing", 16)
+    return TTSServer(model, **kw)
+
+
+def test_server_nonstream_matches_generate(cv_model):
+    """Greedy server results must equal the public generate path byte for
+    byte (same codes, same decode) for every concurrent request."""
+    from qwen3_tts_tpu.runtime.server import AudioResult
+
+    texts = ["first sample text", "the second one", "and request three"]
+    srv = _server(cv_model)
+    for i, t in enumerate(texts):
+        srv.submit_custom_voice(f"req-{i}", text=t, speaker="vivian",
+                                language="english")
+    events = srv.run_until_drained()
+    results = {e.request_id: e for e in events if isinstance(e, AudioResult)}
+    assert set(results) == {f"req-{i}" for i in range(len(texts))}
+    assert not srv.busy
+
+    # the tiny checkpoint's generation_config is greedy, so the engine path
+    # must match the static path exactly (streaming text layout)
+    want, sr = cv_model.generate_custom_voice(
+        text=texts, speaker="vivian", language="english",
+        non_streaming_mode=False)
+    for i in range(len(texts)):
+        got = results[f"req-{i}"]
+        assert got.sample_rate == sr
+        np.testing.assert_array_equal(got.wav, want[i])
+
+
+def test_server_streaming_packets(cv_model):
+    """Streaming egress: per-request packets cover every generated frame
+    exactly once, the final packet is flagged, and the concatenated audio
+    equals the non-streaming result's prefix structure (chunked left-context
+    decode vs one-shot decode agree on early samples)."""
+    from qwen3_tts_tpu.runtime.server import AudioPacket
+
+    srv = _server(cv_model, packet_frames=2, left_context=4)
+    srv.submit_custom_voice("s0", text="stream me now", speaker="vivian",
+                            stream=True)
+    events = srv.run_until_drained()
+    pkts = [e for e in events if isinstance(e, AudioPacket)]
+    assert pkts and pkts[-1].final
+    assert sum(p.final for p in pkts) == 1
+    up = srv.up
+    starts = [p.frame_start for p in pkts]
+    assert starts == sorted(starts)
+    total = 0
+    for p in pkts:
+        assert p.frame_start == total
+        assert p.wav.shape[0] == p.frame_count * up
+        assert np.isfinite(p.wav).all()
+        total += p.frame_count
+    assert total > 0
+
+    # same text non-streaming: frame count must agree
+    from qwen3_tts_tpu.runtime.server import AudioResult
+
+    srv2 = _server(cv_model)
+    srv2.submit_custom_voice("n0", text="stream me now", speaker="vivian")
+    res = [e for e in srv2.run_until_drained()
+           if isinstance(e, AudioResult)][0]
+    assert res.wav.shape[0] == total * up
+
+
+def test_server_clone_context_is_per_request(tmp_path):
+    """An ICL clone request's packets must be identical whether it runs
+    alone or concurrently with an x-vector-only request — per-row vocoder
+    context (the engine-server fix for the mixed-batch degradation)."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from qwen3_tts_tpu.inference.model import VoiceClonePromptItem
+    from qwen3_tts_tpu.runtime.server import AudioPacket
+    from tests._fixtures import make_tiny_checkpoint
+    from tests.test_inference_api import FakeTokenizer
+    from tests.test_pipeline_parity import MODEL_TINY
+
+    root = make_tiny_checkpoint(tmp_path / "base_ckpt", model_type="base")
+    model = Qwen3TTSModel.from_pretrained(root, dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+
+    rng = np.random.default_rng(0)
+    hidden = MODEL_TINY["talker_config"]["hidden_size"]
+    icl = VoiceClonePromptItem(
+        ref_code=rng.integers(0, 30, size=(5, 4)),
+        ref_spk_embedding=rng.normal(0, 0.1, size=(hidden,)).astype(np.float32),
+        x_vector_only_mode=False, icl_mode=True, ref_text="ref words here")
+    xvec = VoiceClonePromptItem(
+        ref_code=None,
+        ref_spk_embedding=rng.normal(0, 0.1, size=(hidden,)).astype(np.float32),
+        x_vector_only_mode=True, icl_mode=False)
+
+    def run(items_by_id):
+        srv = _server(model, packet_frames=2, left_context=4)
+        for rid, item in items_by_id.items():
+            srv.submit_voice_clone(rid, text="clone me please",
+                                   voice_clone_prompt=[item], stream=True)
+        evs = srv.run_until_drained()
+        out = {}
+        for e in evs:
+            if isinstance(e, AudioPacket):
+                out.setdefault(e.request_id, []).append(e)
+        return out
+
+    alone = run({"icl": icl})
+    mixed = run({"icl": icl, "xv": xvec})
+    assert set(mixed) >= {"icl"}
+    a, m = alone["icl"], mixed["icl"]
+    assert [p.frame_count for p in a] == [p.frame_count for p in m]
+    for pa, pm in zip(a, m):
+        np.testing.assert_array_equal(pa.wav, pm.wav)
+
+
+def test_http_engine_concurrent_requests(cv_model):
+    """≥8 concurrent HTTP syntheses through one engine, each byte-correct
+    against the public generate path, plus a chunked /tts_stream request."""
+    import base64
+    import http.client
+    import json
+    import socket
+    import threading
+    import urllib.request
+
+    from qwen3_tts_tpu.cli.demo import _HttpDemo
+    from qwen3_tts_tpu.runtime.server import ThreadedTTSServer
+
+    srv = ThreadedTTSServer(_server(cv_model, num_slots=4))
+    demo = _HttpDemo(cv_model, "custom_voice", {}, engine=srv)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    t = threading.Thread(target=demo.serve, args=("127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    import time as _t
+
+    deadline = _t.time() + 10
+    while _t.time() < deadline:
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                   timeout=2)
+            break
+        except Exception:
+            _t.sleep(0.2)
+
+    texts = [f"concurrent request number {i}" for i in range(8)]
+    results: dict = {}
+    errors: list = []
+
+    def post(i):
+        try:
+            payload = json.dumps({"task": "custom_voice", "text": texts[i],
+                                  "speaker": "vivian"}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/tts", data=payload,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[i] = json.loads(r.read())
+        except Exception as e:  # pragma: no cover
+            errors.append((i, e))
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    assert set(results) == set(range(8))
+
+    want, sr = cv_model.generate_custom_voice(
+        text=texts, speaker="vivian", non_streaming_mode=False)
+    for i in range(8):
+        assert results[i]["sample_rate"] == sr
+        wav_bytes = base64.b64decode(results[i]["wavs_b64"][0])
+        pcm = np.frombuffer(wav_bytes[44:], dtype="<i2")  # skip WAV header
+        ref = (np.clip(want[i], -1, 1) * 32767.0).astype("<i2")
+        assert pcm.shape[0] == ref.shape[0]
+        np.testing.assert_allclose(pcm, ref, atol=1)
+
+    # streaming endpoint: chunked PCM16 arrives and matches length
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    body = json.dumps({"task": "custom_voice", "text": texts[0],
+                       "speaker": "vivian"})
+    conn.request("POST", "/tts_stream", body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert int(resp.headers["X-Sample-Rate"]) == sr
+    pcm = np.frombuffer(resp.read(), dtype="<i2")
+    assert pcm.shape[0] == want[0].shape[0]
+    srv.close()
