@@ -13,14 +13,17 @@ Rebuilds the reference's per-sample prefill layout
     ICL (clone):    [ref+text text embeds (+eos) aligned against codec_bos +
                     summed ref codec frames]; trailing per stream mode
 
-Assembly runs eagerly (host-driven, once per request); all heavy math stays
-in the jitted decode loop.  Outputs are left-padded batches + masks, matching
-the reference's left-pad batching (2239-2269).
+Assembly is ONE jitted program per prompt shape (static keys: segment
+lengths + layout flags — repeated requests hit the jit cache), so a serving
+submit costs a single program dispatch instead of ~20 eager device ops
+(~ms each on tunnel-attached chips).  Outputs are left-padded batches +
+masks, matching the reference's left-pad batching (2239-2269).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -86,6 +89,46 @@ def build_prompt(params: Params, cfg: TalkerConfig, model_cfg: TTSModelConfig,
     Returns (input_embed (1, L, H), trailing_text (1, Tt, H),
     tts_pad_embed (1, 1, H)).
     """
+    H = cfg.hidden_size
+    dummy_i32 = jnp.zeros((0,), jnp.int32)
+    return _assemble_prompt(
+        params, cfg, model_cfg,
+        jnp.asarray(spec.input_id, jnp.int32).reshape(-1),
+        (dummy_i32 if spec.instruct_id is None
+         else jnp.asarray(spec.instruct_id, jnp.int32).reshape(-1)),
+        (jnp.zeros((H,)) if spec.speaker_embed is None
+         else jnp.asarray(spec.speaker_embed).reshape(-1)),
+        (dummy_i32 if spec.ref_id is None
+         else jnp.asarray(spec.ref_id, jnp.int32).reshape(-1)),
+        (jnp.zeros((0, cfg.num_code_groups), jnp.int32)
+         if spec.ref_code is None
+         else jnp.asarray(spec.ref_code, jnp.int32)),
+        language_id=(None if spec.language_id is None
+                     else int(spec.language_id)),
+        non_streaming=bool(spec.non_streaming),
+        has_instruct=spec.instruct_id is not None,
+        has_spk=spec.speaker_embed is not None,
+        has_ref=spec.ref_code is not None)
+
+
+@partial(jax.jit, static_argnames=("cfg", "model_cfg", "language_id",
+                                  "non_streaming", "has_instruct", "has_spk",
+                                  "has_ref"))
+def _assemble_prompt(params: Params, cfg: TalkerConfig,
+                     model_cfg: TTSModelConfig, input_id: jax.Array,
+                     instruct_id: jax.Array, speaker_embed: jax.Array,
+                     ref_id: jax.Array, ref_code: jax.Array,
+                     language_id: Optional[int], non_streaming: bool,
+                     has_instruct: bool, has_spk: bool, has_ref: bool
+                     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    spec = PromptSpec(
+        input_id=input_id,
+        language_id=language_id,
+        speaker_embed=speaker_embed if has_spk else None,
+        instruct_id=instruct_id if has_instruct else None,
+        ref_id=ref_id if has_ref else None,
+        ref_code=ref_code if has_ref else None,
+        non_streaming=non_streaming)
     tts_bos, tts_eos, tts_pad = _special_text_embeds(params, cfg, model_cfg)
     input_id = jnp.asarray(spec.input_id).reshape(1, -1)
 
