@@ -188,7 +188,6 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
                   cache: KVCache, offset,
                   attend_len: Optional[int] = None,
                   unroll: int = 1,
-                  window: Optional[Tuple[jax.Array, jax.Array]] = None,
                   prefill_start: Optional[jax.Array] = None,
                   prefill_window: Optional[int] = None
                   ) -> Tuple[jax.Array, KVCache]:
@@ -200,12 +199,13 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
     current sequence length — avoids streaming the whole preallocated buffer
     from HBM every decode step; invalid slots masked by mask_bias).
 
-    `window=(start, end)` (each (B,)) switches T==1 decode attention onto the
-    Pallas flash-decode kernel with a contiguous validity window (DMA-skips
-    out-of-window blocks); mask_bias is ignored on that path.
+    Decode (T==1) attention stays on XLA deliberately: a per-layer Pallas
+    flash-decode kernel was built and measured 31.6 vs 18.6 ms/frame against
+    this bucketed path (28 serialized kernel launches break XLA's
+    weight-stream/attention overlap, and GQA decode matmuls are G=2-row —
+    near-empty MXU tiles), so the kernel was removed (docs/DESIGN.md §9).
     """
     B, T, _ = h.shape
-    use_pallas = window is not None and T == 1
     # long prefills stream K/V blocks through the flash kernel instead of
     # materializing the (B, Hkv, G, T, S) score tensor; `prefill_start` is
     # the first valid (non-left-pad) slot per row
@@ -276,15 +276,6 @@ def decoder_stack(stacked: Params, norm: Params, dims: StackDims, h: jax.Array,
             o = flash_prefill(q, k, v, prefill_start,
                               sliding_window=prefill_window,
                               interpret=pallas_interpret)
-        elif use_pallas:
-            from ..ops.pallas.decode_attention import decode_attention
-
-            if quantized:
-                k_att = kv_dequantize(k_att, ks_att, x.dtype)
-                v_att = kv_dequantize(v_att, vs_att, x.dtype)
-            o = decode_attention(q[:, 0], k_att.astype(x.dtype),
-                                 v_att.astype(x.dtype), window[0], window[1],
-                                 interpret=pallas_interpret)[:, None]
         elif quantized:
             # int8 K/V stay int8 inside the attention matmuls — only the
             # int8 buffers + scale planes are read from HBM
@@ -373,14 +364,11 @@ def talker_prefill(params: Params, cfg: TalkerConfig, inputs_embeds: jax.Array,
 
 def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
                        position: jax.Array, cache_index, kv_valid: jax.Array,
-                       cache: KVCache, attend_len: Optional[int] = None,
-                       window: Optional[Tuple[jax.Array, jax.Array]] = None
+                       cache: KVCache, attend_len: Optional[int] = None
                        ) -> Tuple[jax.Array, jax.Array, KVCache]:
     """One decode step. embed: (B, 1, H); position: (B,) rope position;
     cache_index: scalar slot to write; kv_valid: (B, S) valid slots incl. the
-    new one; attend_len: optional static bucket bounding the attended window;
-    window=(start, end): contiguous validity, routes attention onto the
-    Pallas flash-decode kernel.
+    new one; attend_len: optional static bucket bounding the attended window.
     Returns (logits (B, V), hidden (B,1,H), cache)."""
     B = embed.shape[0]
     S = cache.k.shape[2] if attend_len is None else attend_len
@@ -390,10 +378,6 @@ def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
     ok = (slot <= cache_index) & kv_valid[:, :S]
     if cfg.sliding_window is not None:
         ok &= slot > (cache_index - cfg.sliding_window)
-        if window is not None:
-            window = (jnp.maximum(window[0],
-                                  cache_index - cfg.sliding_window + 1),
-                      window[1])
     bias = mask_to_bias(ok[:, None, None, :])
 
     inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
@@ -401,7 +385,7 @@ def talker_decode_step(params: Params, cfg: TalkerConfig, embed: jax.Array,
 
     h, cache = decoder_stack(params["layers"], params["norm"], dims, embed,
                              cos, sin, bias, cache, cache_index,
-                             attend_len=attend_len, window=window)
+                             attend_len=attend_len)
     logits = matmul_t(h[:, 0].astype(jnp.float32), params["codec_head"])
     return logits, h, cache
 

@@ -2,9 +2,9 @@
 
 XLA-first implementation: one fused einsum-softmax-einsum chain that XLA maps
 onto the MXU; masks are additive fp32 biases built from boolean predicates
-(static shapes).  The Pallas fused decode-step kernel lives in
-`ops/pallas/decode_attention.py` and is used by the serving runtime; this
-module is the reference path and is used for prefill and the codec stacks.
+(static shapes).  This is the production decode/prefill path (a per-layer
+Pallas decode kernel measured slower and was removed — docs/DESIGN.md §9);
+long prefills route to `ops/pallas/prefill_attention.py`.
 
 Reference semantics matched: eager_attention_forward in
 modeling_qwen3_tts.py:634-657 (fp32 softmax, GQA via repeat_kv) and HF

@@ -142,8 +142,7 @@ def init_decode_state(params: Params, cfg: TalkerConfig,
 
 def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
                const: DecodeConst, state: DecodeState,
-               attend_len: Optional[int] = None,
-               use_pallas_attention: bool = False
+               attend_len: Optional[int] = None
                ) -> Tuple[DecodeState, jax.Array, jax.Array, jax.Array]:
     """One frame: returns (state', frame (B, Q), hidden_row (B, H),
     active (B,) — whether the frame is valid output)."""
@@ -180,15 +179,9 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     kv_valid = const.valid_prefill | ((slot >= const.prefill_len) &
                                       (slot <= cache_index))
     position = const.seq_lens + state.t
-    window = None
-    if use_pallas_attention:
-        # contiguous validity: [left-pad count, cache_index + 1)
-        start = (const.prefill_len - const.seq_lens).astype(jnp.int32)
-        end = jnp.broadcast_to(cache_index + 1, start.shape).astype(jnp.int32)
-        window = (start, end)
     logits, last_hidden, cache = talker_decode_step(
         params, cfg, embed, position, cache_index, kv_valid, state.cache,
-        attend_len=attend_len, window=window)
+        attend_len=attend_len)
 
     ban = jnp.full((B,), state.t + 1 < gen_cfg.min_new_tokens)
     next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
@@ -201,12 +194,11 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     return new_state, frame, last_hidden[:, 0], active
 
 
-@decode_jit(static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len",
-                            "use_pallas_attention"), donate_argnums=(4,))
+@decode_jit(static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len"),
+            donate_argnums=(4,))
 def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
                  const: DecodeConst, state: DecodeState, num_frames: int,
-                 attend_len: Optional[int] = None,
-                 use_pallas_attention: bool = False
+                 attend_len: Optional[int] = None
                  ) -> Tuple[DecodeState, jax.Array, jax.Array]:
     """Run up to `num_frames` frame steps (streaming granule).
 
@@ -219,8 +211,7 @@ def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     """
     def body(state, _):
         state, frame, _, active = frame_step(
-            params, cfg, gen_cfg, const, state, attend_len=attend_len,
-            use_pallas_attention=use_pallas_attention)
+            params, cfg, gen_cfg, const, state, attend_len=attend_len)
         return state, (frame, active)
 
     state, (frames, active) = jax.lax.scan(body, state, None,
