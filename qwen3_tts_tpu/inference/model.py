@@ -141,6 +141,9 @@ class Qwen3TTSModel:
         # configuration (docs/DESIGN.md §9) — the public API must hit the
         # same path bench.py measures
         self.quantized = quantized
+        # named-speaker embedding rows, fetched once (a per-request device
+        # slice would pay dispatch latency on tunnel-attached chips)
+        self._spk_embed_cache: Dict[int, Any] = {}
 
         tc = config.talker_config
         self.supported_speakers = list((tc.spk_id or {}).keys())
@@ -332,7 +335,8 @@ class Qwen3TTSModel:
         return [codes[b, :lens[b]] for b in range(len(specs))]
 
     def _stream_run(self, specs: List[PromptSpec], gen_cfg: GenerationConfig,
-                    seed: Optional[int] = None, context_codes=None):
+                    seed: Optional[int] = None, context_codes=None,
+                    context_lens=None):
         """Streaming counterpart of _run: yields (wav_chunk (B, samples), sr)
         packets as the dual-track session produces them."""
         from ..runtime.streaming import StreamingSession
@@ -352,7 +356,8 @@ class Qwen3TTSModel:
         sr = tok.get_output_sample_rate()
         up = tok.config.decoder_config.total_upsample
         for pkt in session.run(embeds, mask, trailing, pad, key,
-                               context_codes=context_codes):
+                               context_codes=context_codes,
+                               context_lens=context_lens):
             # silence each row's post-EOS samples and drop trailing columns
             # no row still uses (frames after EOS are zero-masked codes, but
             # the vocoder still emits audio for them)
@@ -467,7 +472,10 @@ class Qwen3TTSModel:
             spk_embed = None
             if spk:
                 spk_id = tc.spk_id[spk.lower()]
-                spk_embed = self.talker_params["codec_embedding"][spk_id]
+                spk_embed = self._spk_embed_cache.get(spk_id)
+                if spk_embed is None:
+                    spk_embed = self.talker_params["codec_embedding"][spk_id]
+                    self._spk_embed_cache[spk_id] = spk_embed
             specs.append(PromptSpec(
                 input_id=self._tokenize(self._build_assistant_text(t)),
                 language_id=self._language_id(lang, spk),
@@ -608,26 +616,29 @@ class Qwen3TTSModel:
         specs, items = self._specs_voice_clone(
             text, language, ref_audio, ref_text, x_vector_only_mode,
             voice_clone_prompt, False)
-        # assemble (B, Q, T0) context from each ref's LAST frames.  The
-        # vocoder uses at most `vocoder_left_context` (25) frames, so T0 =
-        # min over refs (capped at 25) — no zero-padding: padded rows would
-        # feed codebook-entry-0 frames to the vocoder as fake context.
-        # Mixed batches (some items without ref codes) run without context;
-        # split such batches to keep per-item context.
-        ref_codes = [np.asarray(it.ref_code) for it in items
-                     if it.ref_code is not None]
-        context = None
-        if ref_codes and len(ref_codes) == len(items):
-            from ..runtime.streaming import StreamingConfig
+        # per-row vocoder context: each row's LAST ref frames, right-aligned
+        # into (B, Q, T0max) with per-row lengths — the streaming session
+        # gathers each row's own window, so mixed batches (ICL + x-vector
+        # only) keep per-item context instead of degrading to none
+        from ..runtime.streaming import StreamingConfig
 
-            t0 = min(min(c.shape[0] for c in ref_codes),
-                     StreamingConfig().vocoder_left_context)
-            if t0 > 0:
-                context = np.stack(
-                    [c[-t0:].T for c in ref_codes]).astype(np.int32)
+        cap = StreamingConfig().vocoder_left_context
+        lens = [min(cap, 0 if it.ref_code is None else len(it.ref_code))
+                for it in items]
+        context = context_lens = None
+        t0 = max(lens) if lens else 0
+        if t0 > 0:
+            q = self.config.talker_config.num_code_groups
+            context = np.zeros((len(items), q, t0), np.int32)
+            for i, (it, n) in enumerate(zip(items, lens)):
+                if n:
+                    context[i, :, t0 - n:] = np.asarray(
+                        it.ref_code)[-n:].T
+            context_lens = np.asarray(lens, np.int32)
         kw = self._merge_generate_kwargs(**kwargs)
         return self._stream_run(specs, self._generation_config(kw), seed=seed,
-                                context_codes=context)
+                                context_codes=context,
+                                context_lens=context_lens)
 
     def _broadcast(self, x, n, default=None):
         if x is None:

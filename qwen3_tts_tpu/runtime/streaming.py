@@ -57,16 +57,31 @@ class StreamPacket:
     latency_s: float           # wall time since session start
 
 
-@partial(jax.jit, static_argnames=("cfg", "size", "ctx"))
-def _vocode_slice(p, cfg, codes_buf, start, size, ctx):
-    """Slice [start, start+size) frames from the device code history, decode,
-    drop the ctx left-context samples.  Module-level so the compiled
-    (size, ctx) programs are shared across sessions — a per-instance jit
-    closure recompiled the whole warmup schedule on every request."""
-    B, Q, _ = codes_buf.shape
-    chunk = jax.lax.dynamic_slice(codes_buf, (0, 0, start), (B, Q, size))
-    wav = vocoder_decode(p, cfg, jnp.clip(chunk, 0, None))
-    return wav[:, 0, ctx * cfg.total_upsample:]
+@partial(jax.jit, static_argnames=("cfg", "k", "ctx_cap"))
+def _vocode_slice(p, cfg, codes_buf, ctx_lens, emit_start, k, ctx_cap):
+    """Decode the next `k` frames of every row with PER-ROW left context.
+
+    codes_buf: (B, Q, T) device code history; row b's usable history is
+    [emit_start - ctx_lens[b], emit_start + k).  Each row is gathered
+    LEFT-ALIGNED as [c_b context | k new | causal-safe tail], vocoded in one
+    rectangular program (width ctx_cap + k), then the k emitted frames are
+    sliced per row at c_b — exact per-row chunked_decode semantics
+    (reference modeling...v2.py:886-896) inside one batched call, so mixed
+    voice-clone batches keep each row's own reference context.
+
+    Module-level so the compiled (k, ctx_cap) programs are shared across
+    sessions — a per-instance jit closure recompiled the whole warmup
+    schedule on every request."""
+    B, Q, T = codes_buf.shape
+    up = cfg.total_upsample
+    W = ctx_cap + k
+    c = jnp.minimum(ctx_lens.astype(jnp.int32), ctx_cap)        # (B,)
+    start = emit_start - c                                       # (B,)
+    idx = jnp.clip(start[:, None] + jnp.arange(W)[None, :], 0, T - 1)
+    chunk = jnp.take_along_axis(codes_buf, idx[:, None, :], axis=2)
+    wav = vocoder_decode(p, cfg, jnp.clip(chunk, 0, None))[:, 0]  # (B, W*up)
+    sidx = c[:, None] * up + jnp.arange(k * up)[None, :]
+    return jnp.take_along_axis(wav, sidx, axis=1)                # (B, k*up)
 
 
 class StreamingSession:
@@ -98,12 +113,16 @@ class StreamingSession:
 
     def run(self, inputs_embeds: jax.Array, attn_mask: jax.Array,
             trailing_text: jax.Array, tts_pad_embed: jax.Array,
-            key: jax.Array, context_codes=None) -> Iterator[StreamPacket]:
+            key: jax.Array, context_codes=None,
+            context_lens=None) -> Iterator[StreamPacket]:
         """Generate and yield audio packets as they become available.
 
         `context_codes` (B, Q, T0) optional: pre-existing codec frames (e.g.
         a voice-clone reference) used as vocoder left context only — their
-        audio is never emitted."""
+        audio is never emitted.  `context_lens` (B,) optional: per-row valid
+        context length (rows right-aligned in context_codes); rows with 0
+        run context-free, so MIXED clone batches (ICL + x-vector-only) keep
+        per-row context instead of degrading to none."""
         cfg, gen_cfg = self.talker_cfg, self.gen_cfg
         B, T, _ = inputs_embeds.shape
         M = gen_cfg.max_new_tokens
@@ -125,11 +144,15 @@ class StreamingSession:
         if T0:
             codes_buf = codes_buf.at[:, :, :T0].set(
                 jnp.asarray(context_codes, jnp.int32))
-        emitted = T0
+        if context_lens is None:
+            ctx_lens0 = np.full((B,), T0, np.int32)
+        else:
+            ctx_lens0 = np.asarray(context_lens, np.int32)
+        emitted = 0    # generated frames emitted (context excluded)
 
         for k in self._chunk_schedule(max_frames):
             # static attention bucket covering this chunk's final length
-            needed = T + (emitted - T0) + k + 1
+            needed = T + emitted + k + 1
             attend = min(S, ((needed + ATTEND_BUCKET - 1)
                              // ATTEND_BUCKET) * ATTEND_BUCKET)
             state, frames, active = decode_chunk(
@@ -139,22 +162,24 @@ class StreamingSession:
             # vocoder never sees raw sampled control-range ids
             frames = frames * active[..., None].astype(frames.dtype)
             codes_buf = jax.lax.dynamic_update_slice(
-                codes_buf, jnp.swapaxes(frames, 1, 2), (0, 0, emitted))
+                codes_buf, jnp.swapaxes(frames, 1, 2), (0, 0, T0 + emitted))
 
-            ctx = min(ctx_max, emitted)
+            ctx_cap = min(ctx_max, T0 + emitted)
             wav_dev = _vocode_slice(self.vocoder_params, self.vocoder_cfg,
-                                    codes_buf, emitted - ctx, ctx + k, ctx)
+                                    codes_buf,
+                                    jnp.asarray(ctx_lens0 + emitted),
+                                    jnp.int32(T0 + emitted), k, ctx_cap)
             wav = np.asarray(wav_dev)              # one D2H sync per packet
             active_np = np.asarray(active)
 
             latency = time.time() - t_start
-            if emitted == T0:
+            if emitted == 0:
                 from ..utils.metrics import global_metrics
 
                 global_metrics().observe("stream.first_packet_s", latency)
             yield StreamPacket(
                 wav=wav.astype(np.float32),
-                frame_start=emitted - T0,
+                frame_start=emitted,
                 frame_count=k,
                 active_frames=active_np.sum(axis=1),
                 latency_s=latency,
@@ -164,15 +189,16 @@ class StreamingSession:
                 break
 
     def synthesize(self, inputs_embeds, attn_mask, trailing_text,
-                   tts_pad_embed, key,
-                   context_codes=None) -> Tuple[List[np.ndarray], float]:
+                   tts_pad_embed, key, context_codes=None,
+                   context_lens=None) -> Tuple[List[np.ndarray], float]:
         """Run the stream to completion; returns (per-sample wavs trimmed to
         their generated lengths, first-packet latency in seconds)."""
         up = self.vocoder_cfg.total_upsample
         packets = []
         first_latency = None
         for pkt in self.run(inputs_embeds, attn_mask, trailing_text,
-                            tts_pad_embed, key, context_codes=context_codes):
+                            tts_pad_embed, key, context_codes=context_codes,
+                            context_lens=context_lens):
             if first_latency is None:
                 first_latency = pkt.latency_s
             packets.append(pkt)

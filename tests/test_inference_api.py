@@ -273,3 +273,68 @@ def test_demo_cli_fast_path_flags():
     assert args.quantize is None
     ov = _gen_overrides(args)
     assert "kv_quant" not in ov and "fused_subtalker" not in ov
+
+
+def test_tokenizer_decode_pcm16(tiny_checkpoint):
+    """output_dtype="int16" must return device-converted PCM16 matching the
+    host conversion of the float32 output."""
+    import os
+
+    import numpy as np
+
+    from qwen3_tts_tpu import Qwen3TTSTokenizer
+
+    tok = Qwen3TTSTokenizer.from_pretrained(
+        os.path.join(tiny_checkpoint, "speech_tokenizer"))
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 30, size=(7, 4))
+    wav_f, sr = tok.decode({"audio_codes": [codes]})
+    wav_i, sr2 = tok.decode({"audio_codes": [codes]}, output_dtype="int16")
+    assert sr == sr2 and wav_i[0].dtype == np.int16
+    want = np.round(np.clip(wav_f[0], -1, 1) * 32767.0).astype(np.int16)
+    np.testing.assert_allclose(wav_i[0], want, atol=1)
+    with pytest.raises(ValueError, match="output_dtype"):
+        tok.decode({"audio_codes": [codes]}, output_dtype="f64")
+
+
+def test_stream_voice_clone_mixed_batch_per_row_context(tmp_path):
+    """One ICL + one x-vector-only item in a single streaming batch: the ICL
+    row's audio must be IDENTICAL to its single-item run (per-row vocoder
+    context; previously mixed batches silently dropped all context)."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from qwen3_tts_tpu.inference.model import VoiceClonePromptItem
+    from tests._fixtures import make_tiny_checkpoint
+    from tests.test_pipeline_parity import MODEL_TINY
+
+    root = make_tiny_checkpoint(tmp_path / "mix_ckpt", model_type="base")
+    model = Qwen3TTSModel.from_pretrained(root, dtype=jnp.float32)
+    model.processor = FakeTokenizer()
+
+    rng = np.random.default_rng(0)
+    hidden = MODEL_TINY["talker_config"]["hidden_size"]
+    icl = VoiceClonePromptItem(
+        ref_code=rng.integers(0, 30, size=(5, 4)),
+        ref_spk_embedding=rng.normal(0, 0.1, size=(hidden,)).astype(np.float32),
+        x_vector_only_mode=False, icl_mode=True, ref_text="ref words here")
+    xvec = VoiceClonePromptItem(
+        ref_code=None,
+        ref_spk_embedding=rng.normal(0, 0.1, size=(hidden,)).astype(np.float32),
+        x_vector_only_mode=True, icl_mode=False)
+
+    def row_audio(prompt_items, texts, row):
+        chunks = list(model.stream_voice_clone(
+            text=texts, voice_clone_prompt=prompt_items,
+            do_sample=False, subtalker_dosample=False, seed=0))
+        wav = np.concatenate([c[0][row] for c in chunks])
+        return wav
+
+    alone = row_audio([icl], "clone me please", 0)
+    mixed = row_audio([icl, xvec], ["clone me please", "other words"], 0)
+    n = min(alone.shape[0], mixed.shape[0])
+    assert n > 0
+    np.testing.assert_array_equal(alone[:n], mixed[:n])
+    # and the x-vector row must still produce audio
+    xv = row_audio([icl, xvec], ["clone me please", "other words"], 1)
+    assert np.isfinite(xv).all()
