@@ -126,9 +126,10 @@ class _HttpDemo:
 
     def _engine_kwargs(self, task: str, payload: Dict[str, Any]
                        ) -> Dict[str, Any]:
-        """Payload -> submit_<task> kwargs.  Engine sampling parameters are
-        per-engine (jit-static), so per-request sampling overrides are
-        ignored here; max_new_tokens maps to the per-request frame budget."""
+        """Payload -> submit_<task> kwargs.  Per-request sampling
+        (temperature/top_p/repetition_penalty/do_sample) rides each slot;
+        top_k and sub-talker sampling are per-engine (jit-static).
+        max_new_tokens maps to the per-request frame budget."""
         keys = {
             "custom_voice": ("text", "speaker", "language", "instruct"),
             "voice_design": ("text", "instruct", "language"),
@@ -138,6 +139,9 @@ class _HttpDemo:
         if task not in keys:
             raise ValueError(f"unknown task {task}")
         kw = {k: payload[k] for k in keys[task] if k in payload}
+        for k in ("temperature", "top_p", "repetition_penalty", "do_sample"):
+            if k in payload:
+                kw[k] = payload[k]
         if "max_new_tokens" in payload:
             kw["max_frames"] = int(payload["max_new_tokens"]) - 1
         return kw

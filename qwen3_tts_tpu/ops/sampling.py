@@ -32,6 +32,65 @@ class SamplingParams:
     temperature: float = 0.9
     repetition_penalty: float = 1.05
 
+    def as_rows(self, batch: int) -> jax.Array:
+        """Broadcast to a per-row (B, 4) tensor [temp, top_p, rep_pen,
+        do_sample] for the serving engine's per-request sampling."""
+        row = jnp.array([self.temperature, self.top_p,
+                         self.repetition_penalty, float(self.do_sample)],
+                        jnp.float32)
+        return jnp.broadcast_to(row, (batch, 4))
+
+
+def process_and_sample_rows(logits: jax.Array, key: jax.Array,
+                            rows: jax.Array, top_k: int,
+                            presence: Optional[jax.Array] = None,
+                            suppress_mask: Optional[jax.Array] = None,
+                            ban_eos: Optional[jax.Array] = None,
+                            eos_id: Optional[int] = None) -> jax.Array:
+    """Per-ROW sampling for continuous batching: each slot carries its own
+    [temperature, top_p, repetition_penalty, do_sample] (`rows` (B, 4), see
+    SamplingParams.as_rows).  `top_k` stays static (lax.top_k needs a static
+    k; it is a per-engine setting).  Greedy rows (do_sample=0) take argmax
+    of the penalized/suppressed logits, exactly like process_and_sample with
+    do_sample=False — a mixed batch reproduces each row's solo behavior.
+    """
+    logits = logits.astype(jnp.float32)
+    temp = jnp.maximum(rows[:, 0], 1e-6)[:, None]
+    top_p = rows[:, 1][:, None]
+    pen = rows[:, 2][:, None]
+    do_sample = rows[:, 3] > 0.5
+
+    if presence is not None:
+        penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+        logits = jnp.where(presence, penalized, logits)
+    if suppress_mask is not None:
+        logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
+    if ban_eos is not None and eos_id is not None:
+        eos_col = jnp.zeros(logits.shape[-1], dtype=bool).at[eos_id].set(True)
+        logits = jnp.where(ban_eos[:, None] & eos_col[None, :], NEG_INF, logits)
+
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    warped = logits / temp
+    if 0 < top_k < logits.shape[-1]:
+        vals, idx = jax.lax.top_k(warped, top_k)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = ((cum - probs) < top_p).at[..., 0].set(True)
+        vals = jnp.where(keep, vals, NEG_INF)
+        choice = jax.random.categorical(key, vals, axis=-1)
+        sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1
+                                      )[:, 0].astype(jnp.int32)
+    else:
+        sorted_logits = jnp.sort(warped, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = ((cum - probs) < top_p).at[..., 0].set(True)
+        kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
+                      axis=-1, keepdims=True)
+        warped = jnp.where(warped < kth, NEG_INF, warped)
+        sampled = jax.random.categorical(key, warped, axis=-1).astype(jnp.int32)
+    return jnp.where(do_sample, sampled, greedy)
+
 
 def apply_repetition_penalty(logits: jax.Array, presence: jax.Array,
                              penalty: float) -> jax.Array:

@@ -37,7 +37,7 @@ from ..models.talker import (KVCache, StackDims, code_predictor_frame_dispatch,
 from ..ops.attention import attention, attention_kv_quant, mask_to_bias
 from ..ops.norms import rms_norm
 from ..ops.rope import apply_rope, default_inv_freq, rope_tables
-from ..ops.sampling import process_and_sample
+from ..ops.sampling import (SamplingParams, process_and_sample_rows)
 from ..weights import matmul_t, weight_rows
 from .generate import (ATTEND_BUCKET, GenerationConfig,
                        suppress_mask_for)
@@ -63,6 +63,10 @@ class SlotState(NamedTuple):
     tts_pad: jax.Array        # (1, 1, H)
     max_frames: jax.Array     # (B,) per-slot frame budget
     req_id: jax.Array         # (B,) request id (-1 = none)
+    # per-slot talker sampling [temp, top_p, rep_pen, do_sample] — requests
+    # carry their own sampling like the reference's per-call generate kwargs
+    # (top_k and sub-talker sampling stay per-engine: static in the program)
+    sampling: jax.Array       # (B, 4) f32
     # ---- staging pool (prefilled requests awaiting a free slot) ----
     staged_k: jax.Array           # (L, K, Lp, Hkv, D)
     staged_v: jax.Array           # (L, K, Lp, Hkv, D)
@@ -75,6 +79,7 @@ class SlotState(NamedTuple):
     staged_max_frames: jax.Array  # (K,)
     staged_req_id: jax.Array      # (K,)
     staged_valid: jax.Array       # (K,) bool
+    staged_sampling: jax.Array    # (K, 4) f32
     # int8 KV mode only (None otherwise): staging-pool scale buffers
     staged_k_scale: Optional[jax.Array] = None  # (L, K, Lp, Hkv) fp32
     staged_v_scale: Optional[jax.Array] = None
@@ -107,6 +112,7 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         tts_pad=jnp.zeros((1, 1, H), dtype),
         max_frames=jnp.zeros((B,), jnp.int32),
         req_id=jnp.full((B,), -1, jnp.int32),
+        sampling=jnp.zeros((B, 4), jnp.float32),
         staged_k=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
         staged_v=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
         staged_k_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
@@ -122,6 +128,7 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         staged_max_frames=jnp.zeros((K,), jnp.int32),
         staged_req_id=jnp.full((K,), -1, jnp.int32),
         staged_valid=jnp.zeros((K,), bool),
+        staged_sampling=jnp.zeros((K, 4), jnp.float32),
     )
 
 
@@ -129,7 +136,7 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
 def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
                    gen_cfg: GenerationConfig, embeds_rows, mask_rows,
                    trailing_rows, meta: jax.Array, tts_pad: jax.Array,
-                   key: jax.Array) -> SlotState:
+                   key: jax.Array, sampling_rows: jax.Array) -> SlotState:
     """Prefill a batch of N staged requests and write them into staging pool
     rows (meta[:, 3]; entries with meta[:, 4] == 0 are padding and ignored).
 
@@ -162,8 +169,8 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
                                              attn_mask, tmp)
     key, sub = jax.random.split(key)
     ban = jnp.full((N,), 0 < gen_cfg.min_new_tokens)
-    code0 = process_and_sample(
-        logits, sub, gen_cfg.sampling,
+    code0 = process_and_sample_rows(
+        logits, sub, sampling_rows, gen_cfg.sampling.top_k,
         presence=jnp.zeros((N, cfg.vocab_size), bool),
         suppress_mask=suppress_mask_for(cfg),
         ban_eos=ban, eos_id=cfg.codec_eos_token_id)
@@ -201,6 +208,8 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
                                 max_frames.astype(jnp.int32), 0),
         staged_req_id=merge(state.staged_req_id, req_ids.astype(jnp.int32), 0),
         staged_valid=jnp.where(hit, True, state.staged_valid),
+        staged_sampling=merge(state.staged_sampling,
+                              sampling_rows.astype(jnp.float32), 0),
         tts_pad=jnp.asarray(tts_pad, state.tts_pad.dtype),
     )
 
@@ -261,6 +270,7 @@ def _install_all(state: SlotState) -> SlotState:
                 st.staged_trailing_len[ridx]),
             max_frames=st.max_frames.at[slot].set(st.staged_max_frames[ridx]),
             req_id=st.req_id.at[slot].set(st.staged_req_id[ridx]),
+            sampling=st.sampling.at[slot].set(st.staged_sampling[ridx]),
             staged_valid=st.staged_valid.at[ridx].set(False),
         )
 
@@ -407,9 +417,9 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
                                       cache_index, attend_len=attend_len)
     logits = matmul_t(h[:, 0].astype(jnp.float32), params["codec_head"])
     ban = state.t + 1 < gen_cfg.min_new_tokens
-    next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
-                                    presence=presence, suppress_mask=suppress,
-                                    ban_eos=ban, eos_id=eos)
+    next_code0 = process_and_sample_rows(
+        logits, k2, state.sampling, gen_cfg.sampling.top_k,
+        presence=presence, suppress_mask=suppress, ban_eos=ban, eos_id=eos)
     req_id = state.req_id
     # finish detection at sampling time: a sampled EOS or an exhausted frame
     # budget means no further frames will ever be emitted, so the slot frees
@@ -503,6 +513,10 @@ class Request:
     trailing_len: int
     tts_pad: jax.Array
     max_frames: int = 2047
+    # per-request talker sampling override (temperature / top_p /
+    # repetition_penalty / do_sample); None = the engine's gen_cfg.sampling.
+    # top_k and sub-talker sampling stay per-engine (static in the program).
+    sampling: Optional[SamplingParams] = None
 
 
 @dataclass
@@ -637,8 +651,12 @@ class ContinuousBatchingEngine:
                 np.zeros((0, self.cfg.num_code_groups), np.int64)))
             self._instant_ids.add(req.request_id)
             return
+        sp = req.sampling if req.sampling is not None else self.gen_cfg.sampling
+        srow = np.array([sp.temperature, sp.top_p, sp.repetition_penalty,
+                         float(sp.do_sample)], np.float32)
         self.pending.append((req.request_id, e, m, tr,
-                             min(req.trailing_len, self.max_trailing), mf))
+                             min(req.trailing_len, self.max_trailing), mf,
+                             srow))
 
     def _stage_pending(self) -> int:
         """Stage as many pending requests as there are free pool rows,
@@ -666,10 +684,12 @@ class ContinuousBatchingEngine:
                                jnp.zeros((Tt, H), self.dtype))
         embeds_rows, mask_rows, trailing_rows = [], [], []
         meta = np.zeros((Nb, 5), np.int32)
+        srows = np.zeros((Nb, 4), np.float32)
         for i in range(Nb):
             if i < n:
-                rid, e, m, tr, tlen, mf = self.pending.popleft()
+                rid, e, m, tr, tlen, mf, srow = self.pending.popleft()
                 meta[i] = (rid, mf, tlen, free_rows[i], 1)
+                srows[i] = srow
                 self.frames_acc[rid] = []
                 self.req_max_frames[rid] = mf
                 self.staged_rows_busy[free_rows[i]] = rid
@@ -683,7 +703,7 @@ class ContinuousBatchingEngine:
         self.state = stage_requests(
             self.params, self.cfg, self.state, self.gen_cfg,
             tuple(embeds_rows), tuple(mask_rows), tuple(trailing_rows),
-            jnp.asarray(meta), self._tts_pad_dev, sub)
+            jnp.asarray(meta), self._tts_pad_dev, sub, jnp.asarray(srows))
         return n
 
     def _next_ticks(self) -> int:

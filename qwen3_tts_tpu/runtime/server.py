@@ -143,9 +143,28 @@ class TTSServer:
 
     # -- submission ------------------------------------------------------
 
+    def _sampling_override(self, temperature=None, top_p=None,
+                           repetition_penalty=None, do_sample=None):
+        """Per-request talker sampling (engine defaults where None); top_k
+        and sub-talker sampling stay per-engine (static in the program)."""
+        import dataclasses
+
+        base = self.gen_cfg.sampling
+        if all(v is None for v in (temperature, top_p, repetition_penalty,
+                                   do_sample)):
+            return None
+        return dataclasses.replace(
+            base,
+            temperature=base.temperature if temperature is None
+            else float(temperature),
+            top_p=base.top_p if top_p is None else float(top_p),
+            repetition_penalty=base.repetition_penalty
+            if repetition_penalty is None else float(repetition_penalty),
+            do_sample=base.do_sample if do_sample is None else bool(do_sample))
+
     def _submit_specs(self, request_id, specs, stream: bool,
                       ref_code: Optional[np.ndarray],
-                      max_frames: Optional[int]) -> None:
+                      max_frames: Optional[int], sampling=None) -> None:
         from .prompts import build_prompt
 
         if request_id in self._by_user_id:
@@ -174,7 +193,8 @@ class TTSServer:
             trailing=trailing,
             trailing_len=trailing.shape[1],
             tts_pad=pad,
-            max_frames=mf))
+            max_frames=mf,
+            sampling=sampling))
         self._states[rid] = st
         self._by_user_id[request_id] = rid
         self.metrics.count("server.submits")
@@ -183,18 +203,22 @@ class TTSServer:
                             language: Optional[str] = None,
                             instruct: Optional[str] = None,
                             stream: bool = False,
-                            max_frames: Optional[int] = None) -> None:
+                            max_frames: Optional[int] = None,
+                            **sampling_kw) -> None:
         specs = self.model._specs_custom_voice(
             text, speaker, language, instruct, non_streaming=False)
-        self._submit_specs(request_id, specs, stream, None, max_frames)
+        self._submit_specs(request_id, specs, stream, None, max_frames,
+                           sampling=self._sampling_override(**sampling_kw))
 
     def submit_voice_design(self, request_id, text: str, instruct: str,
                             language: Optional[str] = None,
                             stream: bool = False,
-                            max_frames: Optional[int] = None) -> None:
+                            max_frames: Optional[int] = None,
+                            **sampling_kw) -> None:
         specs = self.model._specs_voice_design(
             text, instruct, language, non_streaming=False)
-        self._submit_specs(request_id, specs, stream, None, max_frames)
+        self._submit_specs(request_id, specs, stream, None, max_frames,
+                           sampling=self._sampling_override(**sampling_kw))
 
     def submit_voice_clone(self, request_id, text: str,
                            language: Optional[str] = None,
@@ -202,14 +226,16 @@ class TTSServer:
                            x_vector_only_mode: bool = False,
                            voice_clone_prompt=None,
                            stream: bool = False,
-                           max_frames: Optional[int] = None) -> None:
+                           max_frames: Optional[int] = None,
+                           **sampling_kw) -> None:
         specs, items = self.model._specs_voice_clone(
             text, language, ref_audio, ref_text, x_vector_only_mode,
             voice_clone_prompt, non_streaming=False)
         ref_code = items[0].ref_code
         self._submit_specs(request_id, specs, stream,
                            None if ref_code is None else np.asarray(ref_code),
-                           max_frames)
+                           max_frames,
+                           sampling=self._sampling_override(**sampling_kw))
 
     # -- engine egress ---------------------------------------------------
 
@@ -289,9 +315,15 @@ class TTSServer:
                 ref_len = len(ref)
             decode_batch.append((st, codes, ref_len))
         if decode_batch:
+            # pow2-bucket the decode batch (dummy 1-frame rows) so completion
+            # waves of any size reuse a handful of compiled vocoder shapes
+            nb = 1 << (len(decode_batch) - 1).bit_length()
+            codes_in = [c for _, c, _ in decode_batch]
+            codes_in += [np.zeros((1, self._Q), np.int64)
+                         ] * (nb - len(codes_in))
             with self.metrics.time("server.decode_s"):
                 wavs, sr = self.model.speech_tokenizer.decode(
-                    [{"audio_codes": c} for _, c, _ in decode_batch])
+                    [{"audio_codes": c} for c in codes_in])
             for (st, codes, ref_len), wav in zip(decode_batch, wavs):
                 if ref_len:
                     # proportional ref-prefix cut (reference 612-632)

@@ -398,3 +398,52 @@ def test_engine_sliding_window_matches_oneshot():
     assert set(got) == set(range(B))
     for b in range(B):
         np.testing.assert_array_equal(got[b], want[b])
+
+
+@requires_reference
+def test_engine_per_request_sampling_isolated():
+    """Per-request sampling: a greedy request must reproduce its solo
+    one-shot generation exactly while a high-temperature sampled request
+    decodes in the same slots (reference parity: per-call generate kwargs,
+    which the engine carries per slot)."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    # engine default sampling: SAMPLED at high temperature
+    import dataclasses
+
+    eng_cfg = dataclasses.replace(
+        gen_cfg, sampling=SamplingParams(do_sample=True, temperature=3.0,
+                                         top_k=50, repetition_penalty=1.0))
+    embeds, mask, trailing, pad = _random_inputs(77)
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    engine = ContinuousBatchingEngine(params, cfg, eng_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+
+    def req(i, b, sampling=None):
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        return Request(
+            request_id=i,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+            attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=gen_cfg.max_new_tokens - 1,
+            sampling=sampling)
+
+    # request 0: explicit greedy override; request 1: engine default sampled
+    engine.submit(req(0, 0, sampling=gen_cfg.sampling))
+    engine.submit(req(1, 1))
+    got = {c.request_id: c.codes for c in engine.run_until_drained()}
+    assert set(got) == {0, 1}
+    np.testing.assert_array_equal(got[0], want[0])
