@@ -30,7 +30,8 @@ from ..models.talker import prepare_talker_params
 from ..ops.sampling import SamplingParams
 from ..runtime.generate import (GenerationConfig, generate_frames,
                                 generate_frames_chunked)
-from ..runtime.prompts import PromptSpec, batch_prompts, build_prompt
+from ..runtime.prompts import (PromptSpec, assemble_prompt_specs,
+                               batch_prompts, build_prompt)
 from ..utils.audio import AudioLike, normalize_audio_inputs, resample
 from ..weights import load_safetensors_dir
 from .tokenizer import Qwen3TTSTokenizer
@@ -316,9 +317,8 @@ class Qwen3TTSModel:
     def _run(self, specs: List[PromptSpec], gen_cfg: GenerationConfig,
              seed: Optional[int] = None) -> List[np.ndarray]:
         tc = self.config.talker_config
-        prompts = [build_prompt(self.talker_params, tc, self.config, s)
-                   for s in specs]
-        embeds, mask, trailing, pad = batch_prompts(prompts, bucket=32)
+        embeds, mask, trailing, pad = assemble_prompt_specs(
+            self.talker_params, tc, self.config, specs, bucket=32)
         key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None
                                  else seed)
         # the fused while_loop program wins below ~1024 frames; beyond that
@@ -346,9 +346,8 @@ class Qwen3TTSModel:
             raise RuntimeError("streaming requires a loaded 12Hz speech "
                                "tokenizer (vocoder)")
         tc = self.config.talker_config
-        prompts = [build_prompt(self.talker_params, tc, self.config, s)
-                   for s in specs]
-        embeds, mask, trailing, pad = batch_prompts(prompts, bucket=32)
+        embeds, mask, trailing, pad = assemble_prompt_specs(
+            self.talker_params, tc, self.config, specs, bucket=32)
         session = StreamingSession(self.talker_params, tc, gen_cfg,
                                    tok.dec_params, tok.config.decoder_config)
         key = jax.random.PRNGKey(np.random.randint(0, 2**31) if seed is None

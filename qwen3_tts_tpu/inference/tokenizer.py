@@ -54,6 +54,9 @@ def _decode_compiled(dec_params, cfg, codes, chunk_size, left_context, dtype):
                                         dtype=jnp.dtype(dtype))
 
 
+_to_pcm16_compiled = jax.jit(codec_decoder.to_pcm16)
+
+
 class Qwen3TTSTokenizer:
     """12 Hz (V2) codec tokenizer. 25 Hz (V1) loads via the same entry point
     once `models/codec25` lands (reference registers both; SURVEY §2.3)."""
@@ -205,7 +208,11 @@ class Qwen3TTSTokenizer:
                                 codes, self.chunk_size, self.left_context,
                                 str(np.dtype(self._compute_dtype)))
 
-    def decode(self, encoded) -> Tuple[List[np.ndarray], int]:
+    def decode(self, encoded, output_dtype: str = "float32"
+               ) -> Tuple[List[np.ndarray], int]:
+        """output_dtype "float32" (reference parity) or "int16": PCM16
+        converted ON DEVICE — the delivery format for serving; halves the
+        device->host waveform transfer."""
         xvectors = ref_mels = None
         if hasattr(encoded, "audio_codes"):
             codes_list = encoded.audio_codes
@@ -242,9 +249,17 @@ class Qwen3TTSTokenizer:
         batch = np.zeros((len(codes_list), q, padded_t), np.int32)
         for i, c in enumerate(codes_list):
             batch[i, :, :c.shape[0]] = np.clip(c.T, 0, None)
-        wav = np.asarray(self._decode_jit(jnp.asarray(batch)))[:, 0, :]
+        wav_dev = self._decode_jit(jnp.asarray(batch))
+        if output_dtype == "int16":
+            wav_dev = _to_pcm16_compiled(wav_dev)
+            out_np = np.int16
+        elif output_dtype == "float32":
+            out_np = np.float32
+        else:
+            raise ValueError(f"unsupported output_dtype {output_dtype!r}")
+        wav = np.asarray(wav_dev)[:, 0, :]
         up = self.get_decode_upsample_rate()
-        wavs = [wav[i, :lengths[i] * up].astype(np.float32)
+        wavs = [wav[i, :lengths[i] * up].astype(out_np)
                 for i in range(len(codes_list))]
         return wavs, self.get_output_sample_rate()
 

@@ -83,12 +83,16 @@ class _ReqState:
     first_sent: bool = False
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _vocode_rows(dec_params, cfg, codes):
-    """codes (N, Q, T) int32 -> (N, T*up) float32 (full rows; callers slice
-    per-row [c_i*up, (c_i+k_i)*up))."""
-    wav = vocoder_decode(dec_params, cfg, jnp.clip(codes, 0, None))
-    return wav[:, 0, :]
+@partial(jax.jit, static_argnames=("cfg", "pcm16"))
+def _vocode_rows(dec_params, cfg, codes, pcm16=False):
+    """codes (N, Q, T) int32 -> (N, T*up) float32 or device-converted int16
+    (full rows; callers slice per-row [c_i*up, (c_i+k_i)*up))."""
+    wav = vocoder_decode(dec_params, cfg, jnp.clip(codes, 0, None))[:, 0, :]
+    if pcm16:
+        from ..models.codec12.decoder import to_pcm16
+
+        wav = to_pcm16(wav)
+    return wav
 
 
 class TTSServer:
@@ -110,6 +114,7 @@ class TTSServer:
                  seed: int = 0,
                  overrides: Optional[Dict[str, Any]] = None,
                  metrics=None,
+                 output_dtype: str = "float32",
                  **engine_kwargs):
         tok = model.speech_tokenizer
         if tok is None or tok.dec_params is None:
@@ -127,6 +132,11 @@ class TTSServer:
         self.packet_frames = int(packet_frames)
         self.left_context = int(left_context)
         self.num_slots = num_slots
+        if output_dtype not in ("float32", "int16"):
+            raise ValueError(f"unsupported output_dtype {output_dtype!r}")
+        # "int16": PCM16 converted on device — halves/quarters the audio
+        # device->host transfer (the delivery format for serving)
+        self.output_dtype = output_dtype
         dtype = model.talker_params["codec_embedding"].dtype
         max_len = prefill_bucket + self.gen_cfg.max_new_tokens + 8
         self.engine = ContinuousBatchingEngine(
@@ -277,13 +287,16 @@ class TTSServer:
                     batch[i, :, :c + k] = rows.T
                 meta.append((st, c, k))
             with self.metrics.time("server.vocode_s"):
-                wav = np.asarray(_vocode_rows(self.dec_params, self.dec_cfg,
-                                              jnp.asarray(batch)))
+                wav = np.asarray(_vocode_rows(
+                    self.dec_params, self.dec_cfg, jnp.asarray(batch),
+                    pcm16=self.output_dtype == "int16"))
+            if self.output_dtype == "float32":
+                wav = wav.astype(np.float32)   # host upcast (bf16 vocoders)
             for i, (st, c, k) in enumerate(meta):
                 final = st.done and (self._pending(st) == k)
                 out.append(AudioPacket(
                     request_id=st.request_id,
-                    wav=wav[i, c * self.up:(c + k) * self.up].astype(np.float32),
+                    wav=wav[i, c * self.up:(c + k) * self.up],
                     sample_rate=self.sample_rate,
                     frame_start=st.emitted, frame_count=k, final=final))
                 st.emitted += k
@@ -323,7 +336,8 @@ class TTSServer:
                          ] * (nb - len(codes_in))
             with self.metrics.time("server.decode_s"):
                 wavs, sr = self.model.speech_tokenizer.decode(
-                    [{"audio_codes": c} for c in codes_in])
+                    [{"audio_codes": c} for c in codes_in],
+                    output_dtype=self.output_dtype)
             for (st, codes, ref_len), wav in zip(decode_batch, wavs):
                 if ref_len:
                     # proportional ref-prefix cut (reference 612-632)
