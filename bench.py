@@ -267,7 +267,7 @@ def main():
         kv_quant=kv_quant)
     session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
                                StreamingConfig())
-    iters = int(os.environ.get("BENCH_FP_ITERS", "3"))
+    iters = int(os.environ.get("BENCH_FP_ITERS", "5"))
     latencies = []
     for i in range(iters + 1):  # iter 0 = compile warmup
         _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,

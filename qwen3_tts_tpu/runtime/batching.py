@@ -541,7 +541,8 @@ class ContinuousBatchingEngine:
                  prefill_bucket: Optional[int] = None,
                  installs_per_tick: int = 4,
                  staging_rows: Optional[int] = None,
-                 mesh=None, metrics=None):
+                 mesh=None, metrics=None,
+                 chunk_ramp: Tuple[int, ...] = (2, 4, 8, 16)):
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
@@ -572,6 +573,12 @@ class ContinuousBatchingEngine:
         self.key = jax.random.PRNGKey(seed)
         self.ticks_per_sync = ticks_per_sync
         self.installs_per_tick = installs_per_tick
+        # cold-start chunk ramp: after an idle period the first chunks are
+        # short (pow2 values reuse the tail-bucket compiled shapes), so a
+        # fresh request's first frames reach the host in a few ticks instead
+        # of a full ticks_per_sync chunk; steady-state throughput unchanged
+        self.chunk_ramp = tuple(t for t in chunk_ramp if t < ticks_per_sync)
+        self._ramp_i = len(self.chunk_ramp)
         self.pending: deque = deque()
         self.frames_acc: Dict[int, List[np.ndarray]] = {}
         self.req_max_frames: Dict[int, int] = {}
@@ -651,6 +658,8 @@ class ContinuousBatchingEngine:
                 np.zeros((0, self.cfg.num_code_groups), np.int64)))
             self._instant_ids.add(req.request_id)
             return
+        if not self.frames_acc and not self._ticks_in_flight:
+            self._ramp_i = 0    # engine was idle: restart the latency ramp
         sp = req.sampling if req.sampling is not None else self.gen_cfg.sampling
         srow = np.array([sp.temperature, sp.top_p, sp.repetition_penalty,
                          float(sp.do_sample)], np.float32)
@@ -707,10 +716,13 @@ class ContinuousBatchingEngine:
         return n
 
     def _next_ticks(self) -> int:
-        """Chunk length: full `ticks_per_sync` under queue pressure; once the
-        queue is drained, a pow2 bucket just covering the longest remaining
-        request, so the tail doesn't burn empty ticks."""
+        """Chunk length: full `ticks_per_sync` under queue pressure (after
+        the cold-start ramp); once the queue is drained, a pow2 bucket just
+        covering the longest remaining request, so the tail doesn't burn
+        empty ticks."""
         ticks = self.ticks_per_sync
+        if self._ramp_i < len(self.chunk_ramp):
+            ticks = min(ticks, self.chunk_ramp[self._ramp_i])
         if self.pending:
             return ticks
         remaining = 0
@@ -738,6 +750,7 @@ class ContinuousBatchingEngine:
         self.state, aux = serve_chunk(
             self.params, self.cfg, self.state, self.gen_cfg, sub, ticks,
             attend_len=attend, installs_per_tick=self.installs_per_tick)
+        self._ramp_i = min(self._ramp_i + 1, len(self.chunk_ramp))
         self._unprocessed.append((aux, ticks))
         self._ticks_in_flight += ticks
         self.metrics.count("engine.chunks")

@@ -447,3 +447,42 @@ def test_engine_per_request_sampling_isolated():
     got = {c.request_id: c.codes for c in engine.run_until_drained()}
     assert set(got) == {0, 1}
     np.testing.assert_array_equal(got[0], want[0])
+
+
+@requires_reference
+def test_engine_cold_start_chunk_ramp():
+    """After an idle period the first chunks are short (latency ramp), then
+    grow to ticks_per_sync; output equality with one-shot is preserved
+    (chunk sizes are output-invariant, see ticks_per_sync test)."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    embeds, mask, trailing, pad = _random_inputs(11)
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32, ticks_per_sync=8,
+                                      chunk_ramp=(2, 4))
+    n = int(mask[0].sum())
+    L = embeds.shape[1]
+    sl = slice(L - n, L)
+    req = Request(request_id=0,
+                  inputs_embeds=jnp.asarray(embeds[0:1, sl]),
+                  attn_mask=jnp.asarray(mask[0:1, sl]),
+                  trailing=jnp.asarray(trailing[0:1]),
+                  trailing_len=trailing.shape[1],
+                  tts_pad=jnp.asarray(pad), max_frames=7)
+    engine.submit(req)
+    engine._stage_pending()
+    assert engine._next_ticks() == 2          # cold start: short chunk
+    engine._launch_chunk()
+    assert engine._next_ticks() == 4          # ramp advances
+    engine._launch_chunk()
+    done = engine.run_until_drained()
+    assert len(done) == 1 and done[0].codes.shape[0] == 7
+
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+    np.testing.assert_array_equal(done[0].codes, want[0][:7])
