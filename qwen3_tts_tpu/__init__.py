@@ -16,6 +16,8 @@ _LAZY = {
     "Qwen3TTSProcessor": "qwen3_tts_tpu.inference.processor",
     "StreamingSession": "qwen3_tts_tpu.runtime.streaming",
     "ContinuousBatchingEngine": "qwen3_tts_tpu.runtime.batching",
+    "TTSServer": "qwen3_tts_tpu.runtime.server",
+    "ThreadedTTSServer": "qwen3_tts_tpu.runtime.server",
 }
 
 
@@ -30,4 +32,5 @@ def __getattr__(name):
 
 __all__ = ["Qwen3TTSModel", "Qwen3TTSTokenizer", "VoiceClonePromptItem",
            "Qwen3TTSProcessor", "StreamingSession",
-           "ContinuousBatchingEngine", "__version__"]
+           "ContinuousBatchingEngine", "TTSServer", "ThreadedTTSServer",
+           "__version__"]

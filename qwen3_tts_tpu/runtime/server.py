@@ -83,6 +83,27 @@ class _ReqState:
     first_sent: bool = False
 
 
+@partial(jax.jit, static_argnames=("L", "Tt"))
+def _bucket_pad(prompt, trailing, L: int, Tt: int):
+    T = prompt.shape[1]
+    p = jnp.pad(prompt, ((0, 0), (L - T, 0), (0, 0)))        # left pad
+    t = jnp.pad(trailing, ((0, 0), (0, Tt - trailing.shape[1]), (0, 0)))
+    return p, t
+
+
+def _bucket_request(prompt, trailing, bucket: int = 16):
+    """Pad a (1, T, H) prompt / (1, Tt, H) trailing to length buckets with
+    an explicit attention mask — the engine is mask-aware, so padded slots
+    are never attended and rope positions follow the mask."""
+    T, Tt = prompt.shape[1], trailing.shape[1]
+    L = ((T + bucket - 1) // bucket) * bucket
+    Tb = ((Tt + bucket - 1) // bucket) * bucket
+    mask = np.zeros((1, L), np.int32)
+    mask[0, L - T:] = 1
+    p, t = _bucket_pad(prompt, trailing, L, Tb)
+    return p, jnp.asarray(mask), t
+
+
 @partial(jax.jit, static_argnames=("cfg", "pcm16"))
 def _vocode_rows(dec_params, cfg, codes, pcm16=False):
     """codes (N, Q, T) int32 -> (N, T*up) float32 or device-converted int16
@@ -183,6 +204,12 @@ class TTSServer:
         tc = self.model.config.talker_config
         prompt, trailing, pad = build_prompt(self.model.talker_params, tc,
                                              self.model.config, spec)
+        # bucket lengths (left-pad prompt, right-pad trailing) so the
+        # engine-side per-(T, Tt) padding programs stay a small warmable
+        # set instead of one compile key per novel text length
+        trailing_len = trailing.shape[1]
+        prompt, attn_mask, trailing = _bucket_request(
+            prompt, trailing, bucket=16)
         rid = self._next_rid
         self._next_rid += 1
         st = _ReqState(request_id=request_id, stream=stream,
@@ -199,9 +226,9 @@ class TTSServer:
         self.engine.submit(Request(
             request_id=rid,
             inputs_embeds=prompt,
-            attn_mask=jnp.ones((1, prompt.shape[1]), jnp.int32),
+            attn_mask=attn_mask,
             trailing=trailing,
-            trailing_len=trailing.shape[1],
+            trailing_len=trailing_len,
             tts_pad=pad,
             max_frames=mf,
             sampling=sampling))
