@@ -225,3 +225,40 @@ def test_http_engine_concurrent_requests(cv_model):
     pcm = np.frombuffer(resp.read(), dtype="<i2")
     assert pcm.shape[0] == want[0].shape[0]
     srv.close()
+
+
+def test_server_over_dp_mesh_matches_single(cv_model):
+    """One TTSServer spanning a dp=2 mesh (engine slot state sharded over
+    chips) must produce exactly the single-device server's results."""
+    import jax
+
+    from qwen3_tts_tpu.parallel.mesh import make_mesh, shard_talker_params
+    from qwen3_tts_tpu.runtime.server import AudioResult
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs 2 devices")
+
+    texts = ["mesh request one", "mesh request two"]
+
+    def run(model, **kw):
+        srv = _server(model, num_slots=2, **kw)
+        for i, t in enumerate(texts):
+            srv.submit_custom_voice(i, text=t, speaker="vivian")
+        return {e.request_id: e.wav for e in srv.run_until_drained()
+                if isinstance(e, AudioResult)}
+
+    base = run(cv_model)
+
+    mesh = make_mesh(dp=2, tp=1)
+    sharded = shard_talker_params(cv_model.talker_params, mesh)
+    import copy
+
+    model2 = copy.copy(cv_model)
+    model2.talker_params = sharded
+    with mesh:
+        got = run(model2, mesh=mesh)
+    assert set(got) == set(base)
+    for k in base:
+        np.testing.assert_array_equal(got[k], base[k])
