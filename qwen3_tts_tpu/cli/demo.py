@@ -127,8 +127,9 @@ class _HttpDemo:
     def _engine_kwargs(self, task: str, payload: Dict[str, Any]
                        ) -> Dict[str, Any]:
         """Payload -> submit_<task> kwargs.  Per-request sampling
-        (temperature/top_p/repetition_penalty/do_sample) rides each slot;
-        top_k and sub-talker sampling are per-engine (jit-static).
+        (temperature/top_p/repetition_penalty/do_sample, plus top_k up to
+        the engine's compiled candidate width) rides each slot; sub-talker
+        sampling is per-engine (jit-static).
         max_new_tokens maps to the per-request frame budget."""
         keys = {
             "custom_voice": ("text", "speaker", "language", "instruct"),
@@ -139,7 +140,8 @@ class _HttpDemo:
         if task not in keys:
             raise ValueError(f"unknown task {task}")
         kw = {k: payload[k] for k in keys[task] if k in payload}
-        for k in ("temperature", "top_p", "repetition_penalty", "do_sample"):
+        for k in ("temperature", "top_p", "repetition_penalty", "do_sample",
+                  "top_k"):
             if k in payload:
                 kw[k] = payload[k]
         if "max_new_tokens" in payload:

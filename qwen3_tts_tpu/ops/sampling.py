@@ -33,12 +33,12 @@ class SamplingParams:
     repetition_penalty: float = 1.05
 
     def as_rows(self, batch: int) -> jax.Array:
-        """Broadcast to a per-row (B, 4) tensor [temp, top_p, rep_pen,
-        do_sample] for the serving engine's per-request sampling."""
+        """Broadcast to a per-row (B, 5) tensor [temp, top_p, rep_pen,
+        do_sample, top_k] for the serving engine's per-request sampling."""
         row = jnp.array([self.temperature, self.top_p,
-                         self.repetition_penalty, float(self.do_sample)],
-                        jnp.float32)
-        return jnp.broadcast_to(row, (batch, 4))
+                         self.repetition_penalty, float(self.do_sample),
+                         float(self.top_k)], jnp.float32)
+        return jnp.broadcast_to(row, (batch, 5))
 
 
 def process_and_sample_rows(logits: jax.Array, key: jax.Array,
@@ -48,17 +48,24 @@ def process_and_sample_rows(logits: jax.Array, key: jax.Array,
                             ban_eos: Optional[jax.Array] = None,
                             eos_id: Optional[int] = None) -> jax.Array:
     """Per-ROW sampling for continuous batching: each slot carries its own
-    [temperature, top_p, repetition_penalty, do_sample] (`rows` (B, 4), see
-    SamplingParams.as_rows).  `top_k` stays static (lax.top_k needs a static
-    k; it is a per-engine setting).  Greedy rows (do_sample=0) take argmax
-    of the penalized/suppressed logits, exactly like process_and_sample with
-    do_sample=False — a mixed batch reproduces each row's solo behavior.
+    [temperature, top_p, repetition_penalty, do_sample, top_k] (`rows`
+    (B, 5), see SamplingParams.as_rows).  The static `top_k` argument is the
+    PROGRAM's candidate width (lax.top_k needs a static k); each row's
+    rows[:, 4] then masks ranks >= k_i inside that candidate set, so
+    per-request k works without a recompile as long as k_i <= static top_k
+    (the engine validates at submit).  rows with k_i <= 0 keep every
+    candidate the static path provides (i.e. no per-row narrowing; on a
+    full-vocab program that is true no-top-k).  Greedy rows (do_sample=0)
+    take argmax of the penalized/suppressed logits, exactly like
+    process_and_sample with do_sample=False — a mixed batch reproduces each
+    row's solo behavior.
     """
     logits = logits.astype(jnp.float32)
     temp = jnp.maximum(rows[:, 0], 1e-6)[:, None]
     top_p = rows[:, 1][:, None]
     pen = rows[:, 2][:, None]
     do_sample = rows[:, 3] > 0.5
+    row_k = rows[:, 4][:, None]    # per-row top_k (float; <=0 = keep all)
 
     if presence is not None:
         penalized = jnp.where(logits > 0, logits / pen, logits * pen)
@@ -72,7 +79,12 @@ def process_and_sample_rows(logits: jax.Array, key: jax.Array,
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     warped = logits / temp
     if 0 < top_k < logits.shape[-1]:
-        vals, idx = jax.lax.top_k(warped, top_k)
+        vals, idx = jax.lax.top_k(warped, top_k)   # sorted descending
+        rank = jnp.arange(top_k)[None, :].astype(jnp.float32)
+        kmask = (row_k <= 0) | (rank < row_k)
+        vals = jnp.where(kmask, vals, NEG_INF)
+        # top-p AFTER top-k, renormalized over the k_i survivors (HF warper
+        # order); softmax sends the NEG_INF rows to 0 probability
         probs = jax.nn.softmax(vals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         keep = ((cum - probs) < top_p).at[..., 0].set(True)
@@ -82,9 +94,14 @@ def process_and_sample_rows(logits: jax.Array, key: jax.Array,
                                       )[:, 0].astype(jnp.int32)
     else:
         sorted_logits = jnp.sort(warped, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        rank = jnp.arange(logits.shape[-1])[None, :].astype(jnp.float32)
+        kmask = (row_k <= 0) | (rank < row_k)
+        kvals = jnp.where(kmask, sorted_logits, NEG_INF)
+        probs = jax.nn.softmax(kvals, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        keep_sorted = ((cum - probs) < top_p).at[..., 0].set(True)
+        keep_sorted = (((cum - probs) < top_p) & kmask).at[..., 0].set(True)
+        # kept set is a prefix of the descending sort (both filters keep
+        # prefixes), so a threshold on the smallest kept logit reproduces it
         kth = jnp.min(jnp.where(keep_sorted, sorted_logits, jnp.inf),
                       axis=-1, keepdims=True)
         warped = jnp.where(warped < kth, NEG_INF, warped)

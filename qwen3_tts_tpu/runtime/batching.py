@@ -63,10 +63,12 @@ class SlotState(NamedTuple):
     tts_pad: jax.Array        # (1, 1, H)
     max_frames: jax.Array     # (B,) per-slot frame budget
     req_id: jax.Array         # (B,) request id (-1 = none)
-    # per-slot talker sampling [temp, top_p, rep_pen, do_sample] — requests
-    # carry their own sampling like the reference's per-call generate kwargs
-    # (top_k and sub-talker sampling stay per-engine: static in the program)
-    sampling: jax.Array       # (B, 4) f32
+    # per-slot talker sampling [temp, top_p, rep_pen, do_sample, top_k] —
+    # requests carry their own sampling like the reference's per-call
+    # generate kwargs.  Per-row top_k is a rank mask inside the engine's
+    # static candidate width (gen_cfg.sampling.top_k), so it must be <= that
+    # width; sub-talker sampling stays per-engine (static in the program)
+    sampling: jax.Array       # (B, 5) f32
     # ---- staging pool (prefilled requests awaiting a free slot) ----
     staged_k: jax.Array           # (L, K, Lp, Hkv, D)
     staged_v: jax.Array           # (L, K, Lp, Hkv, D)
@@ -79,7 +81,7 @@ class SlotState(NamedTuple):
     staged_max_frames: jax.Array  # (K,)
     staged_req_id: jax.Array      # (K,)
     staged_valid: jax.Array       # (K,) bool
-    staged_sampling: jax.Array    # (K, 4) f32
+    staged_sampling: jax.Array    # (K, 5) f32
     # int8 KV mode only (None otherwise): staging-pool scale buffers
     staged_k_scale: Optional[jax.Array] = None  # (L, K, Lp, Hkv) fp32
     staged_v_scale: Optional[jax.Array] = None
@@ -112,7 +114,7 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         tts_pad=jnp.zeros((1, 1, H), dtype),
         max_frames=jnp.zeros((B,), jnp.int32),
         req_id=jnp.full((B,), -1, jnp.int32),
-        sampling=jnp.zeros((B, 4), jnp.float32),
+        sampling=jnp.zeros((B, 5), jnp.float32),
         staged_k=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
         staged_v=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
         staged_k_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
@@ -128,7 +130,7 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         staged_max_frames=jnp.zeros((K,), jnp.int32),
         staged_req_id=jnp.full((K,), -1, jnp.int32),
         staged_valid=jnp.zeros((K,), bool),
-        staged_sampling=jnp.zeros((K, 4), jnp.float32),
+        staged_sampling=jnp.zeros((K, 5), jnp.float32),
     )
 
 
@@ -661,8 +663,17 @@ class ContinuousBatchingEngine:
         if not self.frames_acc and not self._ticks_in_flight:
             self._ramp_i = 0    # engine was idle: restart the latency ramp
         sp = req.sampling if req.sampling is not None else self.gen_cfg.sampling
+        K = self.gen_cfg.sampling.top_k
+        if 0 < K < (sp.top_k if sp.top_k > 0 else self.cfg.vocab_size):
+            # the compiled program's candidate set is the engine's static
+            # top_k; a wider (or unfiltered) per-request k cannot be served
+            # without a recompile — reject loudly instead of silently
+            # narrowing the request's distribution
+            raise ValueError(
+                f"request top_k={sp.top_k} exceeds the engine's compiled "
+                f"candidate width top_k={K}")
         srow = np.array([sp.temperature, sp.top_p, sp.repetition_penalty,
-                         float(sp.do_sample)], np.float32)
+                         float(sp.do_sample), float(sp.top_k)], np.float32)
         self.pending.append((req.request_id, e, m, tr,
                              min(req.trailing_len, self.max_trailing), mf,
                              srow))
@@ -693,7 +704,7 @@ class ContinuousBatchingEngine:
                                jnp.zeros((Tt, H), self.dtype))
         embeds_rows, mask_rows, trailing_rows = [], [], []
         meta = np.zeros((Nb, 5), np.int32)
-        srows = np.zeros((Nb, 4), np.float32)
+        srows = np.zeros((Nb, 5), np.float32)
         for i in range(Nb):
             if i < n:
                 rid, e, m, tr, tlen, mf, srow = self.pending.popleft()

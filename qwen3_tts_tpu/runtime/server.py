@@ -175,14 +175,17 @@ class TTSServer:
     # -- submission ------------------------------------------------------
 
     def _sampling_override(self, temperature=None, top_p=None,
-                           repetition_penalty=None, do_sample=None):
-        """Per-request talker sampling (engine defaults where None); top_k
-        and sub-talker sampling stay per-engine (static in the program)."""
+                           repetition_penalty=None, do_sample=None,
+                           top_k=None):
+        """Per-request talker sampling (engine defaults where None).
+        `top_k` must be <= the engine's compiled candidate width (its static
+        top_k — the engine validates); sub-talker sampling stays per-engine
+        (static in the program)."""
         import dataclasses
 
         base = self.gen_cfg.sampling
         if all(v is None for v in (temperature, top_p, repetition_penalty,
-                                   do_sample)):
+                                   do_sample, top_k)):
             return None
         return dataclasses.replace(
             base,
@@ -191,7 +194,8 @@ class TTSServer:
             top_p=base.top_p if top_p is None else float(top_p),
             repetition_penalty=base.repetition_penalty
             if repetition_penalty is None else float(repetition_penalty),
-            do_sample=base.do_sample if do_sample is None else bool(do_sample))
+            do_sample=base.do_sample if do_sample is None else bool(do_sample),
+            top_k=base.top_k if top_k is None else int(top_k))
 
     def _submit_specs(self, request_id, specs, stream: bool,
                       ref_code: Optional[np.ndarray],

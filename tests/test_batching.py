@@ -486,3 +486,93 @@ def test_engine_cold_start_chunk_ramp():
 
     want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
     np.testing.assert_array_equal(done[0].codes, want[0][:7])
+
+
+def test_rows_per_request_top_k_property():
+    """process_and_sample_rows honors a per-row top_k on BOTH branches:
+    every sampled id falls inside that row's top-k_i set, k_i <= 0 keeps the
+    full candidate set, and greedy rows ignore k entirely."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import process_and_sample_rows
+
+    rng = np.random.default_rng(0)
+    V = 64
+    logits = jnp.asarray(rng.normal(size=(4, V)).astype(np.float32))
+    order = np.argsort(-np.asarray(logits), axis=-1)
+    #          temp  top_p rep  do_sample top_k
+    rows = jnp.asarray(np.array([
+        [3.0, 1.0, 1.0, 1.0, 1.0],     # k=1 -> always the argmax
+        [3.0, 1.0, 1.0, 1.0, 3.0],     # k=3 -> within the top-3
+        [3.0, 1.0, 1.0, 1.0, 0.0],     # k<=0 -> full candidate set
+        [9.9, 1.0, 1.0, 0.0, 1.0],     # greedy row: k irrelevant
+    ], np.float32))
+    for static_k in (50, 0):           # static-top-K branch / full-sort branch
+        seen2 = set()
+        for i in range(64):
+            got = np.asarray(process_and_sample_rows(
+                logits, jax.random.PRNGKey(i), rows, static_k))
+            assert got[0] == order[0, 0]
+            assert got[1] in order[1, :3]
+            assert got[3] == order[3, 0]
+            seen2.add(int(got[2]))
+        # the unfiltered high-temperature row must range beyond any small k
+        assert len(seen2) > 8, f"static_k={static_k}: row 2 looks filtered"
+
+
+@requires_reference
+def test_engine_per_request_top_k():
+    """A per-request top_k=1 sampled request is deterministic (categorical
+    over one candidate == argmax) and must reproduce the request's greedy
+    solo run even while a default wide-k sampled request shares the batch;
+    a request wider than the engine's compiled candidate width is rejected."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    eng_cfg = dataclasses.replace(
+        gen_cfg, sampling=SamplingParams(do_sample=True, temperature=3.0,
+                                         top_k=50, repetition_penalty=1.05))
+    embeds, mask, trailing, pad = _random_inputs(78)
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    engine = ContinuousBatchingEngine(params, cfg, eng_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+
+    def req(i, b, sampling=None):
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        return Request(
+            request_id=i,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+            attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=gen_cfg.max_new_tokens - 1,
+            sampling=sampling)
+
+    # k=1 (sampled) == the greedy distribution; same rep penalty as gen_cfg
+    k1 = dataclasses.replace(eng_cfg.sampling, top_k=1)
+    engine.submit(req(0, 0, sampling=k1))
+    engine.submit(req(1, 1))                   # default wide-k sampled
+    got = {c.request_id: c.codes for c in engine.run_until_drained()}
+    assert set(got) == {0, 1}
+    np.testing.assert_array_equal(got[0], want[0])
+
+    with pytest.raises(ValueError, match="candidate width"):
+        engine.submit(req(2, 0, sampling=dataclasses.replace(
+            eng_cfg.sampling, top_k=51)))
+    with pytest.raises(ValueError, match="candidate width"):
+        # k<=0 = unfiltered: wider than a top-50 program can serve
+        engine.submit(req(3, 0, sampling=dataclasses.replace(
+            eng_cfg.sampling, top_k=0)))
