@@ -581,6 +581,9 @@ class ContinuousBatchingEngine:
         # of a full ticks_per_sync chunk; steady-state throughput unchanged
         self.chunk_ramp = tuple(t for t in chunk_ramp if t < ticks_per_sync)
         self._ramp_i = len(self.chunk_ramp)
+        # latency/throughput lever: while set, the next chunks are at most
+        # this many ticks (rounded down to pow2) — see _next_ticks
+        self.tick_cap: Optional[int] = None
         self.pending: deque = deque()
         self.frames_acc: Dict[int, List[np.ndarray]] = {}
         self.req_max_frames: Dict[int, int] = {}
@@ -730,10 +733,15 @@ class ContinuousBatchingEngine:
         """Chunk length: full `ticks_per_sync` under queue pressure (after
         the cold-start ramp); once the queue is drained, a pow2 bucket just
         covering the longest remaining request, so the tail doesn't burn
-        empty ticks."""
+        empty ticks.  `tick_cap` (settable between steps, e.g. by TTSServer
+        while a streaming request awaits its first packet) bounds the next
+        chunk so fresh frames reach the host sooner; it is rounded down to
+        a pow2 to reuse the warm ramp/tail chunk shapes."""
         ticks = self.ticks_per_sync
         if self._ramp_i < len(self.chunk_ramp):
             ticks = min(ticks, self.chunk_ramp[self._ramp_i])
+        if self.tick_cap is not None and self.tick_cap > 0:
+            ticks = min(ticks, 1 << (int(self.tick_cap).bit_length() - 1))
         if self.pending:
             return ticks
         remaining = 0

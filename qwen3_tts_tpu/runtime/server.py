@@ -132,6 +132,7 @@ class TTSServer:
                  packet_frames: int = 25,
                  left_context: int = 25,
                  ticks_per_sync: int = 8,
+                 first_packet_ticks: int = 8,
                  seed: int = 0,
                  overrides: Optional[Dict[str, Any]] = None,
                  metrics=None,
@@ -152,6 +153,13 @@ class TTSServer:
         self.up = int(self.dec_cfg.total_upsample)
         self.packet_frames = int(packet_frames)
         self.left_context = int(left_context)
+        # while any streaming request awaits its FIRST packet, cap engine
+        # chunks at this many ticks (pow2) so those frames reach the host in
+        # ~first_packet_ticks tick-times instead of a full ticks_per_sync
+        # chunk — the dual-track latency story under multi-tenant load.
+        # 0 disables (pure-throughput serving); non-streaming requests never
+        # engage the cap.
+        self.first_packet_ticks = int(first_packet_ticks)
         self.num_slots = num_slots
         if output_dtype not in ("float32", "int16"):
             raise ValueError(f"unsupported output_dtype {output_dtype!r}")
@@ -384,6 +392,11 @@ class TTSServer:
 
     def step(self) -> List[Union[AudioPacket, AudioResult]]:
         """One engine step + egress. Returns packets and results in order."""
+        if self.first_packet_ticks:
+            waiting = any(st.stream and not st.first_sent
+                          for st in self._states.values())
+            self.engine.tick_cap = (self.first_packet_ticks if waiting
+                                    else None)
         completions = self.engine.step()
         events: List[Union[AudioPacket, AudioResult]] = []
         events.extend(self._finish_results(completions))

@@ -262,3 +262,39 @@ def test_server_over_dp_mesh_matches_single(cv_model):
     assert set(got) == set(base)
     for k in base:
         np.testing.assert_array_equal(got[k], base[k])
+
+
+def test_first_packet_tick_cap(cv_model):
+    """While a streaming request awaits its first packet the server caps
+    engine chunks (pow2-rounded) so frames reach the host early; the cap
+    clears once every stream has its first packet, and the capped run's
+    audio is identical to an uncapped run (chunk sizes are
+    output-invariant)."""
+    from qwen3_tts_tpu.runtime.server import AudioPacket
+
+    def run(first_packet_ticks):
+        srv = _server(cv_model, ticks_per_sync=16,
+                      first_packet_ticks=first_packet_ticks, packet_frames=2)
+        srv.submit_custom_voice("s", text="cap those early chunks",
+                                speaker="vivian", stream=True)
+        caps = []
+        events = []
+        for _ in range(1000):
+            events.extend(srv.step())
+            caps.append((srv.engine.tick_cap, srv.engine._next_ticks()))
+            if not srv.busy:
+                break
+        return srv, caps, [e for e in events if isinstance(e, AudioPacket)]
+
+    srv, caps, pkts = run(first_packet_ticks=3)
+    # cap engaged while waiting (3 rounds down to pow2 = 2) ...
+    assert caps[0][0] == 3 and caps[0][1] == 2
+    # ... and cleared after the first packet shipped
+    assert caps[-1][0] is None
+    assert pkts and pkts[-1].final
+
+    _, caps_off, pkts_off = run(first_packet_ticks=0)
+    assert all(c[0] is None for c in caps_off)
+    np.testing.assert_array_equal(
+        np.concatenate([p.wav for p in pkts]),
+        np.concatenate([p.wav for p in pkts_off]))
