@@ -270,9 +270,12 @@ class _HttpDemo:
                         chunk(first[0])
                     for pcm, _ in gen:
                         chunk(pcm)
-                finally:
                     self.wfile.write(b"0\r\n\r\n")
                     self.wfile.flush()
+                except (BrokenPipeError, ConnectionError):
+                    # client went away mid-stream: closing the generator
+                    # cancels the request so the engine slot frees
+                    gen.close()
 
             def log_message(self, fmt, *args):
                 print(f"[qwen-tts-demo] {fmt % args}", file=sys.stderr)

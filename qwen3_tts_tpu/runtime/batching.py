@@ -216,6 +216,21 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _cancel_in_state(state: SlotState, rid: jax.Array) -> SlotState:
+    """Kill any live slot holding `rid` and invalidate its staged row.
+
+    Composes after all previously launched chunks (dispatch is in program
+    order), so a cancel lands even when the chunk in flight installs the
+    request mid-chunk: the install happened in an earlier program, this
+    update sees the post-install state."""
+    hit = state.req_id == rid
+    return state._replace(
+        active=state.active & ~hit,
+        done=state.done | hit,
+        staged_valid=state.staged_valid & (state.staged_req_id != rid))
+
+
 def _install_all(state: SlotState) -> SlotState:
     """Install staged requests into free slots until either runs out
     (device-side admission). A while_loop, so idle ticks pay one predicate
@@ -600,6 +615,13 @@ class ContinuousBatchingEngine:
         # chunk behind under load
         self._unprocessed: deque = deque()
         self._ticks_in_flight = 0
+        # cancelled request ids -> chunks-launched stamp at cancel time;
+        # late aux from chunks launched BEFORE the cancel may still mention
+        # the id, so frames/finishes for these are dropped until every such
+        # chunk has synced (then the id becomes reusable again)
+        self._cancelled: Dict[int, int] = {}
+        self._chunks_launched = 0
+        self._chunks_synced = 0
         # requests whose frame budget clamps to zero complete immediately
         # (they would otherwise stall run_until_drained: no chunk is ever
         # launched for an empty budget)
@@ -642,9 +664,11 @@ class ContinuousBatchingEngine:
         self.metrics.count("engine.submits")
         if (req.request_id in self.frames_acc
                 or req.request_id in self._instant_ids
+                or req.request_id in self._cancelled
                 or any(p[0] == req.request_id for p in self.pending)):
             # ids key frame attribution and staging-row reclaim; a duplicate
-            # would silently merge two requests' frames
+            # would silently merge two requests' frames (a cancelled id is
+            # reusable once every chunk launched before the cancel synced)
             raise ValueError(f"request id {req.request_id} already in flight")
         T = req.inputs_embeds.shape[1]
         if T > self.prefill_bucket:
@@ -680,6 +704,37 @@ class ContinuousBatchingEngine:
         self.pending.append((req.request_id, e, m, tr,
                              min(req.trailing_len, self.max_trailing), mf,
                              srow))
+
+    def cancel(self, request_id) -> bool:
+        """Best-effort cancel: the request never completes and its slot /
+        staging row frees at the next chunk boundary (a client disconnect
+        must not burn chip time to completion). Returns True if the request
+        was known (pending, staged, live, or instant). The id stays
+        unusable until every chunk launched before the cancel has synced
+        (late aux may still attribute frames to it); then it can be
+        resubmitted."""
+        n = len(self.pending)
+        self.pending = deque(p for p in self.pending if p[0] != request_id)
+        if len(self.pending) < n:
+            self.metrics.count("engine.cancels")
+            return True
+        if request_id in self._instant_ids:
+            self._instant = [c for c in self._instant
+                             if c.request_id != request_id]
+            self._instant_ids.discard(request_id)
+            self.metrics.count("engine.cancels")
+            return True
+        if request_id not in self.frames_acc:
+            return False
+        self.frames_acc.pop(request_id, None)
+        self.req_max_frames.pop(request_id, None)
+        self._cancelled[request_id] = self._chunks_launched
+        self.state = _cancel_in_state(self.state, jnp.int32(request_id))
+        for r in [r for r, rid in self.staged_rows_busy.items()
+                  if rid == request_id]:
+            del self.staged_rows_busy[r]
+        self.metrics.count("engine.cancels")
+        return True
 
     def _stage_pending(self) -> int:
         """Stage as many pending requests as there are free pool rows,
@@ -770,6 +825,7 @@ class ContinuousBatchingEngine:
             self.params, self.cfg, self.state, self.gen_cfg, sub, ticks,
             attend_len=attend, installs_per_tick=self.installs_per_tick)
         self._ramp_i = min(self._ramp_i + 1, len(self.chunk_ramp))
+        self._chunks_launched += 1
         self._unprocessed.append((aux, ticks))
         self._ticks_in_flight += ticks
         self.metrics.count("engine.chunks")
@@ -795,6 +851,8 @@ class ContinuousBatchingEngine:
         # attribute in tick order so multi-request slot reuse stays coherent
         for slot, t in sorted(order.tolist(), key=lambda st: (st[1], st[0])):
             rid = int(req_id[slot, t])
+            if rid in self._cancelled:   # late aux from pre-cancel chunks
+                continue
             if emit[slot, t]:
                 self.frames_acc[rid].append(frames[slot, t])
                 if self.frame_sink is not None:
@@ -818,6 +876,11 @@ class ContinuousBatchingEngine:
                   if not staged_valid[r] and staged_rid[r] == rid]:
             del self.staged_rows_busy[r]
         self.max_live_t = int(t_dev.max()) if self.frames_acc else 0
+        # this chunk's aux is fully attributed: cancelled ids whose
+        # pre-cancel chunks have now ALL synced become reusable again
+        self._chunks_synced += 1
+        self._cancelled = {r: s for r, s in self._cancelled.items()
+                           if s > self._chunks_synced}
         self.metrics.count("engine.frames", float(emit.sum()))
         self.metrics.count("engine.completions", len(completions))
         self.metrics.gauge("engine.slot_utilization",

@@ -286,6 +286,18 @@ class TTSServer:
                            max_frames,
                            sampling=self._sampling_override(**sampling_kw))
 
+    def cancel(self, request_id) -> bool:
+        """Cancel an in-flight request: it never yields further events and
+        its engine slot / staging row frees at the next chunk boundary.
+        Returns True if the request was known."""
+        rid = self._by_user_id.pop(request_id, None)
+        if rid is None:
+            return False
+        self.engine.cancel(rid)   # False if the engine already finished it
+        self._states.pop(rid, None)
+        self.metrics.count("server.cancels")
+        return True
+
     # -- engine egress ---------------------------------------------------
 
     def _on_frames(self, rid: int, frames: np.ndarray) -> None:
@@ -455,6 +467,13 @@ class ThreadedTTSServer:
                     task, rid, kwargs, sink = self._submit_q.get_nowait()
                 except _queue.Empty:
                     break
+                if task == "__cancel__":
+                    # client went away: stop burning chip time on it
+                    self.server.cancel(rid)
+                    with self._lock:
+                        self._sinks.pop(rid, None)
+                    worked = True
+                    continue
                 try:
                     submit = getattr(self.server, f"submit_{task}")
                     submit(rid, **kwargs)
@@ -497,11 +516,16 @@ class ThreadedTTSServer:
         sink: "queue.Queue" = queue.Queue()
         kwargs = dict(kwargs, stream=stream)
         self._submit_q.put((task, rid, kwargs, sink))
-        return sink
+        return rid, sink
+
+    def cancel(self, rid) -> None:
+        """Enqueue a cancel for a request returned by _submit; processed on
+        the worker thread (which owns all JAX work)."""
+        self._submit_q.put(("__cancel__", rid, None, None))
 
     def synthesize(self, task: str, timeout: float = 600.0, **kwargs):
         """Blocking non-streaming synthesis -> (wav, sample_rate)."""
-        sink = self._submit(task, stream=False, kwargs=kwargs)
+        _, sink = self._submit(task, stream=False, kwargs=kwargs)
         ev = sink.get(timeout=timeout)
         if isinstance(ev, Exception):
             raise ev
@@ -510,12 +534,20 @@ class ThreadedTTSServer:
         return ev.wav, ev.sample_rate
 
     def synthesize_stream(self, task: str, timeout: float = 600.0, **kwargs):
-        """Generator of AudioPacket for one request."""
-        sink = self._submit(task, stream=True, kwargs=kwargs)
-        while True:
-            ev = sink.get(timeout=timeout)
-            if ev is None:
-                return
-            if isinstance(ev, Exception):
-                raise ev
-            yield ev
+        """Generator of AudioPacket for one request.  Closing the generator
+        early (e.g. the HTTP client disconnected) cancels the request."""
+        rid, sink = self._submit(task, stream=True, kwargs=kwargs)
+        done = False
+        try:
+            while True:
+                ev = sink.get(timeout=timeout)
+                if ev is None:
+                    done = True
+                    return
+                if isinstance(ev, Exception):
+                    done = True
+                    raise ev
+                yield ev
+        finally:
+            if not done:
+                self.cancel(rid)

@@ -576,3 +576,54 @@ def test_engine_per_request_top_k():
         # k<=0 = unfiltered: wider than a top-50 program can serve
         engine.submit(req(3, 0, sampling=dataclasses.replace(
             eng_cfg.sampling, top_k=0)))
+
+
+@requires_reference
+def test_engine_cancel():
+    """Cancelling a live request frees its slot without completing it; the
+    other request's output is unaffected; the slot serves a later request;
+    a cancelled id is reusable after the in-flight chunks sync."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    embeds, mask, trailing, pad = _random_inputs(79)
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    def req(i, b, mf=7):
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        return Request(request_id=i,
+                       inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+                       attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+                       trailing=jnp.asarray(trailing[b:b + 1]),
+                       trailing_len=trailing.shape[1],
+                       tts_pad=jnp.asarray(pad), max_frames=mf)
+
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32, ticks_per_sync=2,
+                                      chunk_ramp=())
+    # cancel while still pending (never staged)
+    engine.submit(req(9, 0))
+    assert engine.cancel(9)
+    assert engine.run_until_drained() == []
+
+    # cancel mid-decode
+    engine.submit(req(0, 0))
+    engine.submit(req(1, 1))
+    engine.step()                 # stage + first chunk in flight
+    assert engine.cancel(0)
+    assert not engine.cancel(42)  # unknown id
+    done = {c.request_id: c.codes for c in engine.run_until_drained()}
+    assert set(done) == {1}
+    np.testing.assert_array_equal(done[1], want[1])
+
+    # the freed slot serves a later request; the cancelled id is reusable
+    engine.submit(req(0, 0))
+    done = {c.request_id: c.codes for c in engine.run_until_drained()}
+    np.testing.assert_array_equal(done[0], want[0])

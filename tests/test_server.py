@@ -298,3 +298,29 @@ def test_first_packet_tick_cap(cv_model):
     np.testing.assert_array_equal(
         np.concatenate([p.wav for p in pkts]),
         np.concatenate([p.wav for p in pkts_off]))
+
+
+def test_stream_cancel_frees_slot(cv_model):
+    """Closing a ThreadedTTSServer stream generator cancels the request:
+    the engine slot frees (a queued request then runs) and the surviving
+    concurrent request's audio is byte-correct."""
+    from qwen3_tts_tpu.runtime.server import ThreadedTTSServer
+
+    srv = ThreadedTTSServer(_server(cv_model, num_slots=1))
+    try:
+        gen = srv.synthesize_stream("custom_voice", text="cancel me early",
+                                    speaker="vivian", language="english")
+        next(gen)            # stream is live and holds the only slot
+        gen.close()          # client disconnect -> cancel
+
+        wav, sr = srv.synthesize("custom_voice", text="the survivor",
+                                 speaker="vivian", language="english",
+                                 timeout=120.0)
+        want, wsr = cv_model.generate_custom_voice(
+            text=["the survivor"], speaker="vivian", language="english",
+            non_streaming_mode=False)
+        assert sr == wsr
+        np.testing.assert_array_equal(wav, want[0])
+        assert not srv.server.busy
+    finally:
+        srv.close()
