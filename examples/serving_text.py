@@ -44,10 +44,16 @@ def main():
 
     srv = TTSServer(model, num_slots=2, prefill_bucket=32, max_trailing=16,
                     packet_frames=2)
+    # per-request sampling rides each slot (top_k up to the engine's
+    # compiled width); cancel() frees a slot when a client disconnects
     srv.submit_custom_voice("stream-1", text="hello streaming world",
-                            speaker="vivian", stream=True)
+                            speaker="vivian", stream=True,
+                            temperature=0.7, top_k=5)
     srv.submit_custom_voice("batch-1", text="hello batch world",
                             speaker="vivian")
+    srv.submit_custom_voice("gone-1", text="this client disconnects",
+                            speaker="vivian", stream=True)
+    srv.cancel("gone-1")
     for ev in srv.run_until_drained():
         if isinstance(ev, AudioPacket):
             print(f"packet  {ev.request_id}: frames "
