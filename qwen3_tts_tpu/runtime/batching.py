@@ -728,7 +728,11 @@ class ContinuousBatchingEngine:
             return False
         self.frames_acc.pop(request_id, None)
         self.req_max_frames.pop(request_id, None)
-        self._cancelled[request_id] = self._chunks_launched
+        if self._unprocessed:
+            # chunks launched before this cancel may still mention the id;
+            # quarantine it until they all sync (no in-flight chunks = no
+            # late aux = the id is immediately reusable)
+            self._cancelled[request_id] = self._chunks_launched
         self.state = _cancel_in_state(self.state, jnp.int32(request_id))
         for r in [r for r, rid in self.staged_rows_busy.items()
                   if rid == request_id]:

@@ -627,3 +627,11 @@ def test_engine_cancel():
     engine.submit(req(0, 0))
     done = {c.request_id: c.codes for c in engine.run_until_drained()}
     np.testing.assert_array_equal(done[0], want[0])
+
+    # cancel with no chunks in flight (engine idle): id immediately reusable
+    engine.submit(req(5, 0))
+    engine._stage_pending()     # staged + live in frames_acc, nothing flying
+    assert engine.cancel(5)
+    engine.submit(req(5, 1))
+    done = {c.request_id: c.codes for c in engine.run_until_drained()}
+    np.testing.assert_array_equal(done[5], want[1])
