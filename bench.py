@@ -511,7 +511,7 @@ def main():
         extra["serving_audio_mb"] = round(serving_audio_mb, 1)
         extra["engine_only_rtf_%dslots" % slots] = round(engine_rtf, 2)
     if fp_load_p50 is not None:
-        extra["first_packet_p50_ms_load16"] = round(fp_load_p50, 1)
+        extra["first_packet_p50_ms_load%d" % slots_fp] = round(fp_load_p50, 1)
     if long_rtf is not None:
         extra["long_rtf_b8_m1024_kvint8"] = round(long_rtf, 2)
     if prefill_ms is not None:

@@ -273,8 +273,12 @@ class _HttpDemo:
                     self.wfile.write(b"0\r\n\r\n")
                     self.wfile.flush()
                 except (BrokenPipeError, ConnectionError):
-                    # client went away mid-stream: closing the generator
-                    # cancels the request so the engine slot frees
+                    pass    # client went away mid-stream
+                finally:
+                    # no-op when the stream completed; otherwise (client
+                    # disconnect OR any server-side mid-stream error) this
+                    # cancels the request so the engine slot frees — the
+                    # truncated chunked response is the client's error signal
                     gen.close()
 
             def log_message(self, fmt, *args):

@@ -232,8 +232,14 @@ class Qwen3TTSTokenizer:
             raise TypeError(
                 "`encoded` must be an encode output, a dict, or a list of dicts.")
 
+        if output_dtype == "int16":
+            out_np = np.int16
+        elif output_dtype == "float32":
+            out_np = np.float32
+        else:
+            raise ValueError(f"unsupported output_dtype {output_dtype!r}")
         if self.v1_model is not None:
-            return self._decode_v1(codes_list, xvectors, ref_mels)
+            return self._decode_v1(codes_list, xvectors, ref_mels, out_np)
         if not isinstance(codes_list, (list, tuple)):
             t = np.asarray(codes_list)
             codes_list = [t] if t.ndim == 2 else list(t)
@@ -242,6 +248,11 @@ class Qwen3TTSTokenizer:
         lengths = [c.shape[0] for c in codes_list]
         q = codes_list[0].shape[1]
         max_t = max(lengths)
+        if max_t == 0:
+            # every row is empty (e.g. zero-frame-budget completions):
+            # nothing to vocode
+            return ([np.zeros((0,), out_np) for _ in codes_list],
+                    self.get_output_sample_rate())
         # bucket to the vocoder chunk size: padded frames only affect samples
         # past the per-sample trim point (causal stack)
         padded_t = ((max_t + self.chunk_size - 1)
@@ -250,20 +261,15 @@ class Qwen3TTSTokenizer:
         for i, c in enumerate(codes_list):
             batch[i, :, :c.shape[0]] = np.clip(c.T, 0, None)
         wav_dev = self._decode_jit(jnp.asarray(batch))
-        if output_dtype == "int16":
+        if out_np is np.int16:
             wav_dev = _to_pcm16_compiled(wav_dev)
-            out_np = np.int16
-        elif output_dtype == "float32":
-            out_np = np.float32
-        else:
-            raise ValueError(f"unsupported output_dtype {output_dtype!r}")
         wav = np.asarray(wav_dev)[:, 0, :]
         up = self.get_decode_upsample_rate()
         wavs = [wav[i, :lengths[i] * up].astype(out_np)
                 for i in range(len(codes_list))]
         return wavs, self.get_output_sample_rate()
 
-    def _decode_v1(self, codes_list, xvectors, ref_mels
+    def _decode_v1(self, codes_list, xvectors, ref_mels, out_np=np.float32
                    ) -> Tuple[List[np.ndarray], int]:
         """25 Hz decode: pad codes with -1, stack x-vectors, pad ref mels
         (reference qwen3_tts_tokenizer.py:331-355)."""
@@ -286,4 +292,9 @@ class Qwen3TTSTokenizer:
             m = np.asarray(m)
             rm[i, :m.shape[0]] = m
         wavs = self.v1_model.decode(codes, xv, rm)
+        if out_np is np.int16:
+            # same rounding as the on-device to_pcm16 / the WAV writer
+            wavs = [np.round(np.clip(w.astype(np.float32), -1.0, 1.0)
+                             * 32767.0).astype(np.int16) for w in wavs]
+            return wavs, self.get_output_sample_rate()
         return [w.astype(np.float32) for w in wavs], self.get_output_sample_rate()

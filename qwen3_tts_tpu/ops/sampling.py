@@ -32,13 +32,16 @@ class SamplingParams:
     temperature: float = 0.9
     repetition_penalty: float = 1.05
 
-    def as_rows(self, batch: int) -> jax.Array:
-        """Broadcast to a per-row (B, 5) tensor [temp, top_p, rep_pen,
-        do_sample, top_k] for the serving engine's per-request sampling."""
-        row = jnp.array([self.temperature, self.top_p,
+    def as_row(self):
+        """The per-request sampling row [temp, top_p, rep_pen, do_sample,
+        top_k] (numpy (5,) f32) — the single definition of the layout
+        process_and_sample_rows consumes (the serving engine stacks one per
+        slot)."""
+        import numpy as np
+
+        return np.array([self.temperature, self.top_p,
                          self.repetition_penalty, float(self.do_sample),
-                         float(self.top_k)], jnp.float32)
-        return jnp.broadcast_to(row, (batch, 5))
+                         float(self.top_k)], np.float32)
 
 
 def process_and_sample_rows(logits: jax.Array, key: jax.Array,
@@ -49,7 +52,7 @@ def process_and_sample_rows(logits: jax.Array, key: jax.Array,
                             eos_id: Optional[int] = None) -> jax.Array:
     """Per-ROW sampling for continuous batching: each slot carries its own
     [temperature, top_p, repetition_penalty, do_sample, top_k] (`rows`
-    (B, 5), see SamplingParams.as_rows).  The static `top_k` argument is the
+    (B, 5), see SamplingParams.as_row).  The static `top_k` argument is the
     PROGRAM's candidate width (lax.top_k needs a static k); each row's
     rows[:, 4] then masks ranks >= k_i inside that candidate set, so
     per-request k works without a recompile as long as k_i <= static top_k

@@ -699,8 +699,7 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"request top_k={sp.top_k} exceeds the engine's compiled "
                 f"candidate width top_k={K}")
-        srow = np.array([sp.temperature, sp.top_p, sp.repetition_penalty,
-                         float(sp.do_sample), float(sp.top_k)], np.float32)
+        srow = sp.as_row()
         self.pending.append((req.request_id, e, m, tr,
                              min(req.trailing_len, self.max_trailing), mf,
                              srow))

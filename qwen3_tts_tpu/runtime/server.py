@@ -220,6 +220,14 @@ class TTSServer:
         # engine-side per-(T, Tt) padding programs stay a small warmable
         # set instead of one compile key per novel text length
         trailing_len = trailing.shape[1]
+        if trailing_len > self.engine.max_trailing:
+            # the engine would silently clamp (dual-track merge switches to
+            # tts_pad after max_trailing positions) and the tail of the text
+            # would never be spoken — reject like the prompt-length check
+            raise ValueError(
+                f"text trailing length {trailing_len} exceeds the server's "
+                f"max_trailing {self.engine.max_trailing}; raise "
+                f"max_trailing or split the text")
         prompt, attn_mask, trailing = _bucket_request(
             prompt, trailing, bucket=16)
         rid = self._next_rid
@@ -285,6 +293,19 @@ class TTSServer:
                            None if ref_code is None else np.asarray(ref_code),
                            max_frames,
                            sampling=self._sampling_override(**sampling_kw))
+
+    def abort_all(self) -> None:
+        """Drop every in-flight request (engine + server bookkeeping).
+        Used after a poisoned step(): the failed requests were already
+        notified; without this, `busy` would stay True forever (and the
+        threaded worker would spin instead of idling)."""
+        for rid in list(self._states):
+            try:
+                self.engine.cancel(rid)
+            except Exception:
+                pass    # engine may itself be poisoned; state still clears
+        self._states.clear()
+        self._by_user_id.clear()
 
     def cancel(self, request_id) -> bool:
         """Cancel an in-flight request: it never yields further events and
@@ -487,11 +508,13 @@ class ThreadedTTSServer:
                     events = self.server.step()
                 except Exception as e:
                     # a poisoned engine step fails every in-flight request;
-                    # deliver the error instead of hanging their sinks
+                    # deliver the error instead of hanging their sinks, and
+                    # clear server state so busy doesn't stay True forever
                     with self._lock:
                         sinks, self._sinks = self._sinks, {}
                     for sink in sinks.values():
                         sink.put(e)
+                    self.server.abort_all()
                     events = []
                 for ev in events:
                     with self._lock:

@@ -252,6 +252,16 @@ def test_v1_tokenizer_api(tmp_path):
     assert wavs[0].shape[0] == 6 * 16 and wavs[1].shape[0] == 4 * 16
     assert all(np.isfinite(w).all() for w in wavs)
 
+    # output_dtype is honored (and validated) on the 25 Hz path too
+    pcm, _ = tok.decode({"audio_codes": codes, "xvectors": xvecs,
+                         "ref_mels": mels}, output_dtype="int16")
+    assert pcm[0].dtype == np.int16
+    np.testing.assert_array_equal(
+        pcm[0], np.round(np.clip(wavs[0], -1.0, 1.0) * 32767.0).astype(np.int16))
+    with pytest.raises(ValueError, match="output_dtype"):
+        tok.decode({"audio_codes": codes, "xvectors": xvecs,
+                    "ref_mels": mels}, output_dtype="f64")
+
     # probe: encode requires onnxruntime for CAM++ x-vectors
     wav = rng.uniform(-0.5, 0.5, size=(4000,)).astype(np.float32)
     with pytest.raises(RuntimeError, match="onnxruntime"):

@@ -126,7 +126,9 @@ def test_server_clone_context_is_per_request(tmp_path):
         x_vector_only_mode=True, icl_mode=False)
 
     def run(items_by_id):
-        srv = _server(model, packet_frames=2, left_context=4)
+        # ICL trailing (text + ref text layout) is 30 here: size the engine
+        # so the server's trailing-overflow validation admits it
+        srv = _server(model, packet_frames=2, left_context=4, max_trailing=32)
         for rid, item in items_by_id.items():
             srv.submit_voice_clone(rid, text="clone me please",
                                    voice_clone_prompt=[item], stream=True)
@@ -324,3 +326,29 @@ def test_stream_cancel_frees_slot(cv_model):
         assert not srv.server.busy
     finally:
         srv.close()
+
+
+def test_zero_frame_and_overlong_requests(cv_model):
+    """A zero-frame-budget request yields an empty result (not a decode
+    crash) without disturbing concurrent requests, and a text whose
+    trailing exceeds the engine's max_trailing is rejected loudly instead
+    of silently dropping the tail of the text."""
+    from qwen3_tts_tpu.runtime.server import AudioResult
+
+    srv = _server(cv_model)
+    srv.submit_custom_voice("z", text="zero frames", speaker="vivian",
+                            language="english", max_frames=0)
+    srv.submit_custom_voice("ok", text="a real request", speaker="vivian",
+                            language="english")
+    res = {e.request_id: e for e in srv.run_until_drained()
+           if isinstance(e, AudioResult)}
+    assert set(res) == {"z", "ok"}
+    assert res["z"].wav.shape[0] == 0
+    assert res["ok"].wav.size > 0
+    assert not srv.busy
+
+    tight = _server(cv_model, max_trailing=8)   # fixture trailing is 16
+    with pytest.raises(ValueError, match="max_trailing"):
+        tight.submit_custom_voice("long", text="does not fit",
+                                  speaker="vivian", language="english")
+    assert not tight.busy
