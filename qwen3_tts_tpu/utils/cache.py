@@ -16,17 +16,31 @@ def host_cpu_key() -> str:
     """Short key of this host's CPU feature set.
 
     XLA:CPU AOT cache entries embed the *compile* machine's features and can
-    SIGILL when loaded on a host with fewer features (observed: a cache
-    entry compiled with +prefer-no-gather loaded on a host without it, with
-    an explicit SIGILL warning).  CPU caches are therefore keyed per
-    feature set; TPU entries are host-independent and stay shared."""
+    SIGILL/segfault when loaded on a host with fewer features (observed: a
+    cache entry compiled with +prefer-no-gather loaded on a host without
+    it; a suite run segfaulted inside get_executable_and_time on such an
+    entry).  CPU caches are therefore keyed per feature set; TPU entries
+    are host-independent and stay shared.
+
+    The key hashes the cpuinfo `model name` line AS WELL AS `flags`: XLA
+    derives tuning features like +prefer-no-scatter/+prefer-no-gather from
+    the CPU *model*, so two hosts with identical flag lists can still
+    produce mutually incompatible AOT entries (observed across this VM's
+    physical-host migrations)."""
     try:
         with open("/proc/cpuinfo") as f:
+            model = flags = ""
             for line in f:
-                if line.startswith("flags"):
-                    import hashlib
+                if line.startswith("model name") and not model:
+                    model = line
+                elif line.startswith("flags") and not flags:
+                    flags = line
+                if model and flags:
+                    break
+            if flags:
+                import hashlib
 
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                return hashlib.sha1((model + flags).encode()).hexdigest()[:10]
     except OSError:
         pass
     import platform
