@@ -21,10 +21,14 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-# Persistent compilation cache across test runs. NOTE: must be set via
-# jax.config (the env var is read before sitecustomize's jax import and is
-# therefore a no-op in this container). cpu=True keys the cache dir by the
-# host's CPU feature set — XLA:CPU AOT entries SIGILL on feature mismatch.
-from qwen3_tts_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+# NO persistent compilation cache for the CPU suite. XLA:CPU AOT
+# serialization is unreliable on this VM (which migrates between physical
+# hosts): entries SIGILL on CPU-feature mismatch even with the cache dir
+# keyed by model+flags, `executable.serialize()` intermittently
+# segfaults/aborts in long suite processes, and entries written by a
+# passing run have aborted `deserialize_executable` minutes later.  Every
+# crash flavor lands inside XLA C++ where pytest cannot recover.  CPU
+# compiles are local and fast; the cache bought ~1 min of suite time and
+# cost hard crashes.  (The TPU cache — remote compiles, minutes per
+# program — stays enabled elsewhere and has been reliable.)
 
-enable_persistent_cache(cpu=True)
