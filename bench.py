@@ -316,11 +316,11 @@ def main():
                                  "int8" if quant == "int8" else None)
         frames_per = 50
 
-        def make_server(n_slots, **kw):
+        def make_server(n_slots, max_new_tokens=frames_per + 1, **kw):
             # PCM16 delivery (the serving format): fp32 audio D2H at 2*slots
             # x 50 frames is ~25 MB — an entire second on this tunnel
             return TTSServer(model, num_slots=n_slots,
-                             max_new_tokens=frames_per + 1,
+                             max_new_tokens=max_new_tokens,
                              prefill_bucket=64, max_trailing=64,
                              ticks_per_sync=25, seed=0,
                              output_dtype="int16", **kw)
@@ -426,6 +426,74 @@ def main():
         fp_load_p50 = float(np.median(list(first_ms.values())))
         _mark(f"first_packet_p50_ms_load{slots_fp}={fp_load_p50:.1f}")
 
+        # (f2) late-joiner first packet: slots_fp-1 long streams keep the
+        # engine mid-chunk (steady state, ramp exhausted), then one new
+        # stream joins — ITS first-packet latency is what the server's
+        # first_packet_ticks cap bounds (without it the joiner waits out a
+        # full ticks_per_sync chunk).  The (f) cohort-start metric above is
+        # ramp-dominated instead.
+        long_frames = 12 * frames_per   # bg streams outlive the whole section
+        srv = make_server(slots_fp, max_new_tokens=long_frames + 1)
+        bg_next = slots_fp - 1
+
+        def bg_submit(i):
+            srv.submit_custom_voice(f"bg{i}", text=text, speaker="vivian",
+                                    language="english", stream=True,
+                                    max_frames=long_frames)
+
+        def bg_refill(events):
+            # hold occupancy: a finished bg stream is replaced immediately
+            nonlocal bg_next
+            for ev in events:
+                if (isinstance(ev, AudioPacket) and ev.final
+                        and str(ev.request_id).startswith("bg")):
+                    bg_submit(bg_next)
+                    bg_next += 1
+            return events
+
+        for i in range(slots_fp - 1):
+            bg_submit(i)
+        seen_first = set()
+        for _ in range(100000):   # drive to steady state (all bg streaming)
+            for ev in bg_refill(srv.step()):
+                if isinstance(ev, AudioPacket) and ev.frame_count > 0:
+                    seen_first.add(ev.request_id)
+            if len(seen_first) >= slots_fp - 1:
+                break
+        # Warmup joiner: the first join at this occupancy can trigger a
+        # fresh compile of the (slots_fp)-active tick program; keep that
+        # one-time cost out of the measured joins.
+        srv.submit_custom_voice("joinwarm", text=text, speaker="vivian",
+                                language="english", stream=True,
+                                max_frames=25)
+        for _ in range(100000):
+            hit = [ev for ev in bg_refill(srv.step())
+                   if isinstance(ev, AudioPacket)
+                   and ev.request_id == "joinwarm" and ev.frame_count > 0]
+            if hit:
+                break
+        join_ms = []
+        for k in range(5):
+            t0 = time.time()
+            srv.submit_custom_voice(f"join{k}", text=text, speaker="vivian",
+                                    language="english", stream=True,
+                                    max_frames=25)
+            for _ in range(100000):
+                hit = [ev for ev in bg_refill(srv.step())
+                       if isinstance(ev, AudioPacket)
+                       and ev.request_id == f"join{k}" and ev.frame_count > 0]
+                if hit:
+                    join_ms.append((time.time() - t0) * 1e3)
+                    break
+            else:
+                raise RuntimeError(f"late joiner {k} never produced audio")
+        for i in range(bg_next):
+            srv.cancel(f"bg{i}")
+        srv.run_until_drained()
+        fp_join_p50 = float(np.median(join_ms))
+        _mark(f"first_packet_ms_latejoin_p50={fp_join_p50:.1f} "
+              f"({', '.join('%.0f' % x for x in join_ms)})")
+
     # ---- (g) long generation: chunked path + int8 KV ----
     long_rtf = None
     if os.environ.get("BENCH_LONG", "1") == "1":
@@ -512,6 +580,7 @@ def main():
         extra["engine_only_rtf_%dslots" % slots] = round(engine_rtf, 2)
     if fp_load_p50 is not None:
         extra["first_packet_p50_ms_load%d" % slots_fp] = round(fp_load_p50, 1)
+        extra["first_packet_ms_latejoin_p50"] = round(fp_join_p50, 1)
     if long_rtf is not None:
         extra["long_rtf_b8_m1024_kvint8"] = round(long_rtf, 2)
     if prefill_ms is not None:
