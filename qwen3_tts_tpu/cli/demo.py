@@ -292,7 +292,11 @@ class _HttpDemo:
             ctx.load_cert_chain(ssl_certfile, ssl_keyfile)
             server.socket = ctx.wrap_socket(server.socket, server_side=True)
         print(f"[qwen-tts-demo] serving {self.kind} on http://{ip}:{port}")
-        server.serve_forever()
+        self._server = server   # tests call self._server.shutdown()
+        try:
+            server.serve_forever()
+        finally:
+            server.server_close()
 
 
 def _launch_gradio(model, kind: str, overrides, args) -> None:

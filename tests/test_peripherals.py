@@ -196,39 +196,46 @@ def test_http_demo_server_end_to_end(tmp_path):
     t.start()
     import time as _t
 
-    deadline = _t.time() + 10
-    while _t.time() < deadline:
-        try:
-            with urllib.request.urlopen(
-                    f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
-                assert json.loads(r.read())["ok"]
-            break
-        except Exception:
-            _t.sleep(0.2)
-
-    with urllib.request.urlopen(f"http://127.0.0.1:{port}/info") as r:
-        info = json.loads(r.read())
-    assert info["speakers"] == ["vivian"]
-
-    payload = json.dumps({"task": "custom_voice", "text": "hello over http",
-                          "speaker": "vivian", "seed": 0}).encode()
-    req = urllib.request.Request(f"http://127.0.0.1:{port}/tts", data=payload,
-                                 headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=120) as r:
-        out = json.loads(r.read())
-    assert out["sample_rate"] == 1000
-    assert len(out["wavs_b64"]) == 1
-
-    # probe: malformed request -> structured error, server stays up
-    bad = urllib.request.Request(f"http://127.0.0.1:{port}/tts",
-                                 data=b'{"task": "custom_voice"}',
-                                 headers={"Content-Type": "application/json"})
     try:
-        urllib.request.urlopen(bad, timeout=30)
-        assert False, "expected HTTPError"
-    except urllib.error.HTTPError as e:
-        assert e.code == 400
-        assert "error" in json.loads(e.read())
+        deadline = _t.time() + 10
+        while _t.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                    assert json.loads(r.read())["ok"]
+                break
+            except Exception:
+                _t.sleep(0.2)
+
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/info") as r:
+            info = json.loads(r.read())
+        assert info["speakers"] == ["vivian"]
+
+        payload = json.dumps({"task": "custom_voice",
+                              "text": "hello over http",
+                              "speaker": "vivian", "seed": 0}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts", data=payload,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["sample_rate"] == 1000
+        assert len(out["wavs_b64"]) == 1
+
+        # probe: malformed request -> structured error, server stays up
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts", data=b'{"task": "custom_voice"}',
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
+    finally:
+        # stop serve_forever so no server thread outlives this test
+        demo._server.shutdown()
+        t.join(timeout=10)
 
 
 def test_warmup_model(tmp_path):

@@ -227,6 +227,9 @@ def test_http_engine_concurrent_requests(cv_model):
     pcm = np.frombuffer(resp.read(), dtype="<i2")
     assert pcm.shape[0] == want[0].shape[0]
     srv.close()
+    # stop serve_forever so no server thread outlives this test
+    demo._server.shutdown()
+    t.join(timeout=10)
 
 
 def test_server_over_dp_mesh_matches_single(cv_model):
