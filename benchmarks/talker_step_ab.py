@@ -1,0 +1,108 @@
+"""A/B: fused talker decode-step Pallas megakernel vs the XLA int8 path.
+
+Run on real TPU (one process at a time on this image):
+
+    python benchmarks/talker_step_ab.py [B] [ATTEND] [K]
+
+Both paths attend the same window (ATTEND slots, a multiple of 128 —
+matching the engine's attend buckets) so weight+KV traffic is identical;
+the delta is pure schedule/overlap quality.  Prints ms/step for each.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qwen3_tts_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from qwen3_tts_tpu.models.talker import KVCache, talker_decode_step
+from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
+                                                  transpose_cache_in)
+from qwen3_tts_tpu.utils.testing import TALKER_1B7, random_talker_params
+from qwen3_tts_tpu.weights import quantize_talker_params
+
+
+def _sync(tree):
+    for x in jax.tree_util.tree_leaves(tree):
+        np.asarray(x)
+
+
+def timeit(name, fn, *args, reps=3):
+    _sync(fn(*args))            # warmup/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        _sync(fn(*args))
+        best = min(best, time.time() - t0)
+    print(f"{name:12s} {best / K * 1e3:7.3f} ms/step "
+          f"({best * 1e3:.1f} ms / {K} steps)", flush=True)
+    return best / K
+
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+S = int(sys.argv[2]) if len(sys.argv) > 2 else 256   # attended window
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 64    # steps per program
+cfg = TALKER_1B7
+dims = (cfg.num_hidden_layers, B, S, cfg.num_key_value_heads,
+        cfg.resolved_head_dim)
+
+print(f"platform={jax.devices()[0].platform} B={B} S={S} K={K}", flush=True)
+
+params = jax.jit(lambda key: quantize_talker_params(
+    random_talker_params(cfg, key, dtype=jnp.bfloat16)))(jax.random.PRNGKey(0))
+
+key = jax.random.PRNGKey(1)
+k0 = (0.5 * jax.random.normal(key, dims)).astype(jnp.bfloat16)
+v0 = (0.5 * jax.random.normal(key, dims)).astype(jnp.bfloat16)
+embed = (0.3 * jax.random.normal(key, (B, 1, cfg.hidden_size))
+         ).astype(jnp.bfloat16)
+kv_valid = jnp.ones((B, S), bool)
+ci = S // 2
+
+
+@jax.jit
+def run_xla(params, k, v, embed):
+    cache = KVCache(k=k, v=v)
+
+    def step(carry, _):
+        cache, h = carry
+        logits, h, cache = talker_decode_step(
+            params, cfg, h, jnp.full((B,), ci, jnp.int32), ci, kv_valid,
+            cache, attend_len=S)
+        return (cache, h), logits[:, 0]
+
+    (cache, h), ls = jax.lax.scan(step, (cache, embed), None, length=K)
+    return ls[-1], h
+
+
+@jax.jit
+def run_fused(params, k, v, embed):
+    kf, vf = transpose_cache_in(k), transpose_cache_in(v)
+
+    def step(carry, _):
+        kf, vf, h = carry
+        logits, h, kf, vf = talker_step_fused_cache(
+            params, cfg, h, jnp.full((B,), ci, jnp.int32), ci, kv_valid,
+            kf, vf, attend_len=S)
+        return (kf, vf, h), logits[:, 0]
+
+    (kf, vf, h), ls = jax.lax.scan(step, (kf, vf, embed), None, length=K)
+    return ls[-1], h
+
+
+t_x = timeit("xla", run_xla, params, k0, v0, embed)
+t_f = timeit("fused", run_fused, params, k0, v0, embed)
+print(f"fused/xla = {t_f / t_x:.3f}  "
+      f"({'fused WINS' if t_f < t_x else 'xla wins'})", flush=True)

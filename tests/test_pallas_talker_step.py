@@ -1,0 +1,137 @@
+"""Fused talker decode-step Pallas megakernel: parity against the
+exact-math JAX reference (same W8A8 + chunked online-softmax formulas),
+and behavioural closeness vs the XLA W8A16 decode step."""
+
+import numpy as np
+import pytest
+
+
+def _tiny_talker(B=4, H=96, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
+    from qwen3_tts_tpu.utils.testing import random_talker_params
+    from qwen3_tts_tpu.weights import quantize_talker_params
+
+    cfg = TalkerConfig(
+        vocab_size=256, hidden_size=H, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, text_hidden_size=H, text_vocab_size=128,
+        num_code_groups=5,
+        codec_eos_token_id=250, codec_pad_id=251, codec_bos_id=252,
+        codec_think_id=253, codec_nothink_id=254, codec_think_bos_id=255,
+        codec_think_eos_id=249,
+        code_predictor_config=CodePredictorConfig(
+            vocab_size=64, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=1, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16, num_code_groups=5),
+    )
+    params = quantize_talker_params(
+        random_talker_params(cfg, jax.random.PRNGKey(seed),
+                             dtype=jnp.bfloat16))
+    return cfg, params
+
+
+def _decode_state(cfg, B, S_buf, ci, seed=0):
+    """A mid-generation decode state: random bf16 KV history in slots < ci,
+    per-row validity, one fresh embedding."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    L = cfg.num_hidden_layers
+    Hkv, D = cfg.num_key_value_heads, cfg.resolved_head_dim
+    k = jnp.asarray(rng.normal(0, 0.5, (L, B, S_buf, Hkv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(0, 0.5, (L, B, S_buf, Hkv, D)), jnp.bfloat16)
+    slot = np.arange(S_buf)[None, :]
+    # ragged per-row starts exercise the kv_valid mask
+    start = rng.integers(0, 4, size=(B, 1))
+    kv_valid = jnp.asarray((slot >= start) & (slot <= ci), bool)
+    embed = jnp.asarray(rng.normal(0, 0.3, (B, 1, cfg.hidden_size)),
+                        jnp.bfloat16)
+    position = jnp.asarray(rng.integers(ci, ci + 2, size=(B,)), jnp.int32)
+    return k, v, kv_valid, embed, position
+
+
+@pytest.mark.parametrize("S_buf,attend_len", [(256, 256), (512, 512),
+                                              (512, 256)])
+def test_kernel_matches_reference(S_buf, attend_len):
+    """Kernel (interpret) vs the same-math JAX ref: identical chunking and
+    reduction order, so logits/hidden agree tightly and the written KV slot
+    is bit-identical."""
+    from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
+                                                      talker_step_ref,
+                                                      transpose_cache_in,
+                                                      transpose_cache_out)
+
+    cfg, params = _tiny_talker()
+    B, ci = 4, 37
+    k, v, kv_valid, embed, position = _decode_state(cfg, B, S_buf, ci)
+    kf, vf = transpose_cache_in(k), transpose_cache_in(v)
+
+    lg_k, h_k, kk, vk = talker_step_fused_cache(
+        params, cfg, embed, position, ci, kv_valid, kf, vf,
+        attend_len=attend_len, interpret=True)
+    lg_r, h_r, kr, vr = talker_step_ref(
+        params, cfg, embed, position, ci, kv_valid, kf, vf,
+        attend_len=attend_len)
+
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_r),
+                               rtol=0.02, atol=0.05)
+    np.testing.assert_allclose(np.asarray(h_k, np.float32),
+                               np.asarray(h_r, np.float32),
+                               rtol=0.05, atol=0.02)
+    # the new KV slot is the same phase-0 math in both; interpret-mode dot
+    # reassociation can move bf16 values by one quantum
+    np.testing.assert_allclose(
+        np.asarray(transpose_cache_out(kk)[:, :, ci], np.float32),
+        np.asarray(transpose_cache_out(kr)[:, :, ci], np.float32),
+        rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(transpose_cache_out(vk)[:, :, ci], np.float32),
+        np.asarray(transpose_cache_out(vr)[:, :, ci], np.float32),
+        rtol=0.05, atol=0.02)
+    # untouched slots stay untouched
+    keep = np.arange(S_buf) != ci
+    np.testing.assert_array_equal(
+        np.asarray(transpose_cache_out(kk), np.float32)[:, :, keep],
+        np.asarray(k, np.float32)[:, :, keep])
+
+
+def test_reference_tracks_xla_decode_step():
+    """W8A8 chunked-softmax ref vs the production W8A16 XLA step: same
+    weights, same state — argmax codes mostly agree (quantization flips
+    near-ties only)."""
+    from qwen3_tts_tpu.models.talker import KVCache, talker_decode_step
+    from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_ref,
+                                                      transpose_cache_in)
+
+    cfg, params = _tiny_talker()
+    B, S_buf, ci = 4, 256, 37
+    k, v, kv_valid, embed, position = _decode_state(cfg, B, S_buf, ci)
+
+    lg_r, h_r, _, _ = talker_step_ref(
+        params, cfg, embed, position, ci, kv_valid,
+        transpose_cache_in(k), transpose_cache_in(v))
+    cache = KVCache(k=k, v=v)
+    lg_x, h_x, _ = talker_decode_step(params, cfg, embed, position, ci,
+                                      kv_valid, cache)
+    agree = (np.asarray(lg_r).argmax(-1) == np.asarray(lg_x).argmax(-1)).mean()
+    assert agree >= 0.75, f"W8A8 ref vs W8A16 XLA argmax agreement {agree}"
+    # hidden states track closely in magnitude
+    np.testing.assert_allclose(np.asarray(h_r, np.float32),
+                               np.asarray(h_x, np.float32),
+                               rtol=0.2, atol=0.15)
+
+
+def test_unchunkable_window_raises():
+    from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
+                                                      transpose_cache_in)
+
+    cfg, params = _tiny_talker()
+    B, S_buf, ci = 4, 512, 37
+    k, v, kv_valid, embed, position = _decode_state(cfg, B, S_buf, ci)
+    with pytest.raises(ValueError, match="cannot chunk"):
+        talker_step_fused_cache(params, cfg, embed, position, ci, kv_valid,
+                                transpose_cache_in(k), transpose_cache_in(v),
+                                attend_len=200, interpret=True)
