@@ -58,6 +58,13 @@ class GenerationConfig:
     # Store the talker KV cache as per-(slot, head) symmetric int8 (halves
     # decode attention HBM reads; sub-frame-level numerics drift only).
     kv_quant: bool = False
+    # Route the 28-layer talker decode step through the fused Pallas
+    # megakernel (ops/pallas/talker_step.py: one pallas_call per frame,
+    # W8A8, KV cache held in fused (L, B, Hkv, S, D) layout for the whole
+    # generate call).  Requires int8 params and a bf16 KV cache
+    # (incompatible with kv_quant); the KV buffer is rounded up to a
+    # multiple of 128 slots.
+    fused_talker_step: bool = False
 
 
 def suppress_mask_for(cfg: TalkerConfig) -> jnp.ndarray:
@@ -133,6 +140,16 @@ def init_decode_state(params: Params, cfg: TalkerConfig,
         seq_lens=jnp.sum(attn_mask, axis=-1).astype(jnp.int32),
         prefill_len=jnp.int32(T),
     )
+    if gen_cfg.fused_talker_step:
+        # one transpose to the kernel's (L, B, Hkv, S, D) layout, amortized
+        # over every decode step of the call
+        from ..ops.pallas.talker_step import transpose_cache_in
+
+        if gen_cfg.kv_quant:
+            raise ValueError("fused_talker_step requires a bf16 KV cache "
+                             "(kv_quant=True unsupported)")
+        cache = cache._replace(k=transpose_cache_in(cache.k),
+                               v=transpose_cache_in(cache.v))
     state = DecodeState(
         cache=cache, code0=code0, last_hidden=hidden_seq[:, -1:, :],
         presence=presence, done=jnp.zeros((B,), bool),
@@ -148,7 +165,9 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     active (B,) — whether the frame is valid output)."""
     eos = cfg.codec_eos_token_id
     B = state.code0.shape[0]
-    S = state.cache.k.shape[2]
+    # fused-talker-step caches hold (L, B, Hkv, S, D); standard (L, B, S,
+    # Hkv, D)
+    S = state.cache.k.shape[3 if gen_cfg.fused_talker_step else 2]
     dtype = state.last_hidden.dtype
     suppress = suppress_mask_for(cfg)
 
@@ -179,9 +198,19 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     kv_valid = const.valid_prefill | ((slot >= const.prefill_len) &
                                       (slot <= cache_index))
     position = const.seq_lens + state.t
-    logits, last_hidden, cache = talker_decode_step(
-        params, cfg, embed, position, cache_index, kv_valid, state.cache,
-        attend_len=attend_len)
+    if gen_cfg.fused_talker_step:
+        from ..ops.pallas.talker_step import talker_step_fused_cache
+
+        interpret = jax.devices()[0].platform != "tpu"
+        logits, last_hidden, kf, vf = talker_step_fused_cache(
+            params, cfg, embed, position, cache_index, kv_valid,
+            state.cache.k, state.cache.v, attend_len=attend_len,
+            interpret=interpret)
+        cache = state.cache._replace(k=kf, v=vf)
+    else:
+        logits, last_hidden, cache = talker_decode_step(
+            params, cfg, embed, position, cache_index, kv_valid, state.cache,
+            attend_len=attend_len)
 
     ban = jnp.full((B,), state.t + 1 < gen_cfg.min_new_tokens)
     next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
@@ -236,6 +265,8 @@ def generate_frames_chunked(params: Params, cfg: TalkerConfig,
     M = gen_cfg.max_new_tokens
     max_frames = M - 1
     S = T + M + 1
+    if gen_cfg.fused_talker_step:
+        S = -(-S // 128) * 128   # kernel KV chunks are 128 slots
 
     state, const = init_decode_state(params, cfg, gen_cfg, inputs_embeds,
                                      attn_mask, trailing_text, tts_pad_embed,
@@ -285,6 +316,8 @@ def generate_frames(params: Params, cfg: TalkerConfig,
     M = gen_cfg.max_new_tokens
     max_frames = M - 1
     S = T + M + 1
+    if gen_cfg.fused_talker_step:
+        S = -(-S // 128) * 128   # kernel KV chunks are 128 slots
     eos = cfg.codec_eos_token_id
 
     state, const = init_decode_state(params, cfg, gen_cfg, inputs_embeds,

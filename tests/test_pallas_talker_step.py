@@ -124,6 +124,68 @@ def test_reference_tracks_xla_decode_step():
                                rtol=0.2, atol=0.15)
 
 
+def test_generate_frames_fused_talker_step_end_to_end():
+    """generate_frames with fused_talker_step=True must run (interpret mode
+    on CPU) and track the XLA path closely under greedy decoding."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.generate import (GenerationConfig,
+                                                generate_frames)
+
+    cfg, params = _tiny_talker()
+    B, L = 2, 8
+    rng = np.random.default_rng(5)
+    embeds = jnp.asarray(rng.normal(0, 0.3, (B, L, cfg.hidden_size)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, L), jnp.int32)
+    trailing = jnp.asarray(rng.normal(0, 0.3, (B, 3, cfg.hidden_size)),
+                           jnp.bfloat16)
+    pad = jnp.zeros((1, 1, cfg.hidden_size), jnp.bfloat16)
+
+    outs = {}
+    for fused in (False, True):
+        gen_cfg = GenerationConfig(
+            max_new_tokens=6,
+            sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+            subtalker=SamplingParams(do_sample=False),
+            fused_talker_step=fused)
+        out = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
+                              pad, jax.random.PRNGKey(1))
+        outs[fused] = (np.asarray(out.codes), np.asarray(out.lengths))
+
+    codes_x, _ = outs[False]
+    codes_f, _ = outs[True]
+    assert codes_f.shape == codes_x.shape
+    agree = (codes_x == codes_f).mean()
+    assert agree >= 0.6, f"fused vs xla generate agreement {agree}"
+
+
+def test_fused_talker_step_rejects_kv_quant():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.generate import (GenerationConfig,
+                                                generate_frames)
+
+    cfg, params = _tiny_talker()
+    gen_cfg = GenerationConfig(
+        max_new_tokens=4, sampling=SamplingParams(do_sample=False),
+        subtalker=SamplingParams(do_sample=False),
+        fused_talker_step=True, kv_quant=True)
+    B, L = 2, 8
+    embeds = jnp.zeros((B, L, cfg.hidden_size), jnp.bfloat16)
+    mask = jnp.ones((B, L), jnp.int32)
+    trailing = jnp.zeros((B, 3, cfg.hidden_size), jnp.bfloat16)
+    pad = jnp.zeros((1, 1, cfg.hidden_size), jnp.bfloat16)
+    with pytest.raises(ValueError, match="kv_quant"):
+        generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
+                        jax.random.PRNGKey(0))
+
+
 def test_unchunkable_window_raises():
     from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
                                                       transpose_cache_in)
