@@ -297,6 +297,11 @@ class Qwen3TTSModel:
             raise ValueError(
                 "fused_subtalker=True does not support subtalker_top_p < 1 "
                 "(pass fused_subtalker=False or drop subtalker_top_p)")
+        fused_step = bool(kw.get("fused_talker_step", False))
+        if fused_step and self.quantized != "int8":
+            raise ValueError(
+                "fused_talker_step=True requires int8 weights; load with "
+                "from_pretrained(..., quantize='int8')")
         return GenerationConfig(
             max_new_tokens=int(kw["max_new_tokens"]),
             min_new_tokens=int(kw.get("min_new_tokens", 2)),
@@ -312,6 +317,7 @@ class Qwen3TTSModel:
                 repetition_penalty=1.0),
             fused_subtalker=fused,
             kv_quant=bool(kw.get("kv_quant", False)),
+            fused_talker_step=fused_step,
         )
 
     def _run(self, specs: List[PromptSpec], gen_cfg: GenerationConfig,

@@ -258,6 +258,17 @@ def test_fast_path_defaults_and_overrides(tiny_checkpoint):
         full._generation_config(full._merge_generate_kwargs(
             fused_subtalker=True))
 
+    # fused_talker_step rides the generate kwargs the same way (off by
+    # default; int8-only)
+    gc = quant._generation_config(quant._merge_generate_kwargs())
+    assert not gc.fused_talker_step
+    gc = quant._generation_config(quant._merge_generate_kwargs(
+        fused_talker_step=True))
+    assert gc.fused_talker_step
+    with pytest.raises(ValueError, match="int8"):
+        full._generation_config(full._merge_generate_kwargs(
+            fused_talker_step=True))
+
 
 def test_demo_cli_fast_path_flags():
     """--quantize/--kv-quant/--no-fused-subtalker reach the generate kwargs."""
