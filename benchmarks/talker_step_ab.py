@@ -87,22 +87,33 @@ def run_xla(params, k, v, embed):
     return ls[-1], h
 
 
-@jax.jit
-def run_fused(params, k, v, embed):
-    kf, vf = transpose_cache_in(k), transpose_cache_in(v)
+def make_fused(impl):
+    @jax.jit
+    def run_fused(params, k, v, embed):
+        kf, vf = transpose_cache_in(k), transpose_cache_in(v)
 
-    def step(carry, _):
-        kf, vf, h = carry
-        logits, h, kf, vf = talker_step_fused_cache(
-            params, cfg, h, jnp.full((B,), ci, jnp.int32), ci, kv_valid,
-            kf, vf, attend_len=S)
-        return (kf, vf, h), logits[:, 0]
+        def step(carry, _):
+            kf, vf, h = carry
+            logits, h, kf, vf = talker_step_fused_cache(
+                params, cfg, h, jnp.full((B,), ci, jnp.int32), ci, kv_valid,
+                kf, vf, attend_len=S, attn_impl=impl)
+            return (kf, vf, h), logits[:, 0]
 
-    (kf, vf, h), ls = jax.lax.scan(step, (kf, vf, embed), None, length=K)
-    return ls[-1], h
+        (kf, vf, h), ls = jax.lax.scan(step, (kf, vf, embed), None, length=K)
+        return ls[-1], h
+    return run_fused
 
 
 t_x = timeit("xla", run_xla, params, k0, v0, embed)
-t_f = timeit("fused", run_fused, params, k0, v0, embed)
-print(f"fused/xla = {t_f / t_x:.3f}  "
-      f"({'fused WINS' if t_f < t_x else 'xla wins'})", flush=True)
+results = {"xla": t_x}
+for impl in ("vpu", "mxu"):
+    try:
+        results[impl] = timeit(f"fused-{impl}", make_fused(impl),
+                               params, k0, v0, embed)
+    except Exception as e:  # noqa: BLE001 — Mosaic may reject an impl
+        print(f"fused-{impl} FAILED: {type(e).__name__}: {e}", flush=True)
+best = min(results, key=results.get)
+for impl, t in sorted(results.items(), key=lambda kv: kv[1]):
+    print(f"{impl:10s} {t * 1e3:7.3f} ms/step  ({t / t_x:.3f}x xla)",
+          flush=True)
+print(f"best: {best}", flush=True)

@@ -98,7 +98,8 @@ def _kernel(x_ref, cos_ref, sin_ref, bias_ref,
             h_out, newk_out, newv_out,
             x_scr, xn2_scr, q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr, *,
             B: int, H: int, heads: int, kv_heads: int, D: int,
-            inter: int, C: int, Sc: int, nS: int, eps: float):
+            inter: int, C: int, Sc: int, nS: int, eps: float,
+            mxu_attn: bool):
     l = pl.program_id(0)
     p = pl.program_id(1)
     G = heads // kv_heads
@@ -140,48 +141,90 @@ def _kernel(x_ref, cos_ref, sin_ref, bias_ref,
         # online softmax over KV chunk p.  The current slot ci is masked OUT
         # of the host-built bias (its cached value is stale) and the fresh
         # K/V is folded in analytically at finalize — substituting it here
-        # would cost two full-chunk copy passes per phase.  Layouts keep S
-        # on the lane axis: kc (B, Hkv, Sc, D), scores (B, Hkv, Sc).
-        kf = kc_ref[0]                                    # (B, Hkv, Sc, D)
-        vf = vc_ref[0]
-        bias = bias_ref[:].reshape(B, 1, Sc)              # additive f32
-        q4 = q_scr[:].reshape(B, kv_heads, G, D).astype(jnp.float32)
-        for g in range(G):
-            qg = q4[:, :, g, :].reshape(B, kv_heads, 1, D)
-            # bf16 -> f32 casts stay inside the product expressions: a
-            # stored fp32 copy of the chunk would double its VMEM footprint
-            s = (jnp.sum(kf.astype(jnp.float32) * qg, axis=-1) * scale
-                 + bias)                                  # (B, Hkv, Sc) f32
-            m_old = m_scr[g]                              # (B, Hkv)
+        # would cost two full-chunk copy passes per phase.
+        if mxu_attn:
+            # (B, Hkv) flattened into ONE dot_general batch dim: scores and
+            # PV become batched (G, D)x(D, Sc) / (G, Sc)x(Sc, D) MXU matmuls
+            # instead of VPU mul+lane-reduce over the full chunk.  Scratch
+            # layouts are (B*Hkv, G[, D]) in this mode.
+            kf = kc_ref[0].reshape(B * kv_heads, Sc, D)   # bf16
+            vf = vc_ref[0].reshape(B * kv_heads, Sc, D)
+            qb = q_scr[:].reshape(B * kv_heads, G, D)     # bf16
+            s = jax.lax.dot_general(
+                qb, kf, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (BHkv, G, Sc)
+            bias = jnp.broadcast_to(
+                bias_ref[:].reshape(B, 1, 1, Sc),
+                (B, kv_heads, G, Sc)).reshape(B * kv_heads, G, Sc)
+            s = s * scale + bias
+            m_old = m_scr[:]                              # (BHkv, G)
             m_new = jnp.maximum(m_old, jnp.max(s, axis=-1))
             corr = jnp.exp(m_old - m_new)
-            e = jnp.exp(s - m_new[..., None])
-            e = e.astype(jnp.bfloat16).astype(jnp.float32)  # XLA casts probs
-            l_scr[g] = l_scr[g] * corr + jnp.sum(e, axis=-1)
-            pv = jnp.sum(e[..., None] * vf.astype(jnp.float32), axis=2)
-            acc_scr[g] = acc_scr[g] * corr[..., None] + pv
-            m_scr[g] = m_new
+            e = jnp.exp(s - m_new[..., None]).astype(jnp.bfloat16)
+            l_scr[:] = (l_scr[:] * corr
+                        + jnp.sum(e.astype(jnp.float32), axis=-1))
+            pv = jax.lax.dot_general(
+                e, vf, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (BHkv, G, D)
+            acc_scr[:] = acc_scr[:] * corr[..., None] + pv
+            m_scr[:] = m_new
+        else:
+            # Layouts keep S on the lane axis: kc (B, Hkv, Sc, D), scores
+            # (B, Hkv, Sc).
+            kf = kc_ref[0]                                # (B, Hkv, Sc, D)
+            vf = vc_ref[0]
+            bias = bias_ref[:].reshape(B, 1, Sc)          # additive f32
+            q4 = q_scr[:].reshape(B, kv_heads, G, D).astype(jnp.float32)
+            for g in range(G):
+                qg = q4[:, :, g, :].reshape(B, kv_heads, 1, D)
+                # bf16 -> f32 casts stay inside the product expressions: a
+                # stored fp32 chunk copy would double its VMEM footprint
+                s = (jnp.sum(kf.astype(jnp.float32) * qg, axis=-1) * scale
+                     + bias)                              # (B, Hkv, Sc) f32
+                m_old = m_scr[g]                          # (B, Hkv)
+                m_new = jnp.maximum(m_old, jnp.max(s, axis=-1))
+                corr = jnp.exp(m_old - m_new)
+                e = jnp.exp(s - m_new[..., None])
+                e = e.astype(jnp.bfloat16).astype(jnp.float32)  # XLA-style
+                l_scr[g] = l_scr[g] * corr + jnp.sum(e, axis=-1)
+                pv = jnp.sum(e[..., None] * vf.astype(jnp.float32), axis=2)
+                acc_scr[g] = acc_scr[g] * corr[..., None] + pv
+                m_scr[g] = m_new
 
     @pl.when(p == nS - 1)
     def _attn_final():
         # fold the fresh K/V slot into the online softmax (the current token
         # always attends itself, so this is unconditional), then project
-        q4 = q_scr[:].reshape(B, kv_heads, G, D).astype(jnp.float32)
-        kn = k_scr[:].astype(jnp.float32)                 # (B, Hkv, D)
-        vn = v_scr[:].astype(jnp.float32)
-        o_groups = []
-        for g in range(G):
-            qg = q4[:, :, g, :]                           # (B, Hkv, D)
-            s_new = jnp.sum(kn * qg, axis=-1) * scale     # (B, Hkv)
-            m_tot = jnp.maximum(m_scr[g], s_new)
-            corr = jnp.exp(m_scr[g] - m_tot)
+        if mxu_attn:
+            qb = q_scr[:].reshape(B * kv_heads, G, D).astype(jnp.float32)
+            kn = k_scr[:].reshape(B * kv_heads, 1, D).astype(jnp.float32)
+            vn = v_scr[:].reshape(B * kv_heads, 1, D).astype(jnp.float32)
+            s_new = jnp.sum(qb * kn, axis=-1) * scale     # (BHkv, G)
+            m_tot = jnp.maximum(m_scr[:], s_new)
+            corr = jnp.exp(m_scr[:] - m_tot)
             e_new = jnp.exp(s_new - m_tot)
             e_new = e_new.astype(jnp.bfloat16).astype(jnp.float32)
-            den = l_scr[g] * corr + e_new
-            og = (acc_scr[g] * corr[..., None]
+            den = l_scr[:] * corr + e_new
+            og = (acc_scr[:] * corr[..., None]
                   + e_new[..., None] * vn) / den[..., None]
-            o_groups.append(og.reshape(B, kv_heads, 1, D))
-        o = jnp.concatenate(o_groups, axis=2).reshape(B, heads * D)
+            o = og.reshape(B, heads * D)                  # head order (kv, g)
+        else:
+            q4 = q_scr[:].reshape(B, kv_heads, G, D).astype(jnp.float32)
+            kn = k_scr[:].astype(jnp.float32)             # (B, Hkv, D)
+            vn = v_scr[:].astype(jnp.float32)
+            o_groups = []
+            for g in range(G):
+                qg = q4[:, :, g, :]                       # (B, Hkv, D)
+                s_new = jnp.sum(kn * qg, axis=-1) * scale  # (B, Hkv)
+                m_tot = jnp.maximum(m_scr[g], s_new)
+                corr = jnp.exp(m_scr[g] - m_tot)
+                e_new = jnp.exp(s_new - m_tot)
+                e_new = e_new.astype(jnp.bfloat16).astype(jnp.float32)
+                den = l_scr[g] * corr + e_new
+                og = (acc_scr[g] * corr[..., None]
+                      + e_new[..., None] * vn) / den[..., None]
+                o_groups.append(og.reshape(B, kv_heads, 1, D))
+            o = jnp.concatenate(o_groups, axis=2).reshape(B, heads * D)
         o = o.astype(jnp.bfloat16)
         attn = _mm8(o, oq_ref[0], os_ref[0, 0])
         x = x_scr[:] + attn.astype(jnp.bfloat16)
@@ -223,6 +266,7 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
                             k_cache: jax.Array, v_cache: jax.Array,
                             attend_len: Optional[int] = None,
                             mlp_chunks: int = 0,
+                            attn_impl: str = "mxu",
                             interpret: bool = False
                             ) -> Tuple[jax.Array, jax.Array,
                                        jax.Array, jax.Array]:
@@ -230,6 +274,9 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
 
     embed: (B, 1, H); position: (B,); kv_valid: (B, S) incl. the new slot;
     k_cache/v_cache: (L, B, Hkv, S_buf, D) bf16 (see transpose_cache_in).
+    attn_impl: "mxu" computes chunk scores/PV as (B*Hkv)-batched dot_generals
+    on the MXU; "vpu" uses elementwise mul + lane reductions (A/B'd in
+    benchmarks/talker_step_ab.py — mxu measured faster).
     Returns (logits (B, V) f32, hidden (B, 1, H) bf16, k_cache, v_cache)
     with the new slot written — the same contract as talker_decode_step.
     """
@@ -271,9 +318,12 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
         ok &= slot > (cache_index - cfg.sliding_window)
     bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
 
+    if attn_impl not in ("mxu", "vpu"):
+        raise ValueError(f"unknown attn_impl {attn_impl!r}")
+    mxu_attn = attn_impl == "mxu"
     kernel = functools.partial(
         _kernel, B=B, H=H, heads=heads, kv_heads=kv_heads, D=D,
-        inter=inter, C=C, Sc=Sc, nS=nS, eps=eps)
+        inter=inter, C=C, Sc=Sc, nS=nS, eps=eps, mxu_attn=mxu_attn)
 
     Ic = inter // C
     vconst = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -350,9 +400,14 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
             pltpu.VMEM((B, heads, D), jnp.bfloat16),      # q
             pltpu.VMEM((B, kv_heads, D), jnp.bfloat16),   # new k
             pltpu.VMEM((B, kv_heads, D), jnp.bfloat16),   # new v
-            pltpu.VMEM((G, B, kv_heads), jnp.float32),    # running max
-            pltpu.VMEM((G, B, kv_heads), jnp.float32),    # running denom
-            pltpu.VMEM((G, B, kv_heads, D), jnp.float32), # running PV acc
+            # online-softmax state: (B*Hkv, G[, D]) in mxu mode (matching
+            # the batched-dot output layout), (G, B, Hkv[, D]) in vpu mode
+            pltpu.VMEM((B * kv_heads, G) if mxu_attn
+                       else (G, B, kv_heads), jnp.float32),     # running max
+            pltpu.VMEM((B * kv_heads, G) if mxu_attn
+                       else (G, B, kv_heads), jnp.float32),     # denom
+            pltpu.VMEM((B * kv_heads, G, D) if mxu_attn
+                       else (G, B, kv_heads, D), jnp.float32),  # PV acc
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -392,10 +447,13 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
 def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
                     position: jax.Array, cache_index, kv_valid: jax.Array,
                     k_cache: jax.Array, v_cache: jax.Array,
-                    attend_len: Optional[int] = None
+                    attend_len: Optional[int] = None,
+                    attn_impl: str = "mxu"
                     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Plain-JAX implementation of the IDENTICAL W8A8 + online-softmax math
-    (fused-layout cache), for parity tests against the kernel."""
+    (fused-layout cache), for parity tests against the kernel.  attn_impl
+    mirrors the kernel's: "mxu" uses batched dot_generals for chunk
+    scores/PV, "vpu" elementwise mul + reductions."""
     from ...ops.rope import default_inv_freq, rope_tables
     from ...weights import matmul_t
 
@@ -447,42 +505,80 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
         newks.append(k.reshape(B, kv_heads, D))
         newvs.append(v.reshape(B, kv_heads, D))
 
-        q4 = q.reshape(B, kv_heads, G, D).astype(jnp.float32)
-        m = jnp.full((G, B, kv_heads), NEG_INF, jnp.float32)
-        den = jnp.zeros((G, B, kv_heads), jnp.float32)
-        acc = jnp.zeros((G, B, kv_heads, D), jnp.float32)
-        for c in range(nS):
-            sl = slice(c * Sc, (c + 1) * Sc)
-            kf = k_cache[li, :, :, sl].astype(jnp.float32)  # (B, Hkv, Sc, D)
-            vf = v_cache[li, :, :, sl].astype(jnp.float32)
-            bc = bias[:, :, sl]
-            for g in range(G):
-                qg = q4[:, :, g, :].reshape(B, kv_heads, 1, D)
-                s = jnp.sum(kf * qg, axis=-1) * scale + bc
-                m_new = jnp.maximum(m[g], jnp.max(s, axis=-1))
-                corr = jnp.exp(m[g] - m_new)
-                e = jnp.exp(s - m_new[..., None])
-                e = e.astype(jnp.bfloat16).astype(jnp.float32)
-                den = den.at[g].set(den[g] * corr + jnp.sum(e, axis=-1))
-                pv = jnp.sum(e[..., None] * vf, axis=2)
-                acc = acc.at[g].set(acc[g] * corr[..., None] + pv)
-                m = m.at[g].set(m_new)
-        # fold the fresh K/V slot (bias masks its stale cached value out)
-        knf = newks[-1].astype(jnp.float32)               # (B, Hkv, D)
-        vnf = newvs[-1].astype(jnp.float32)
-        o_groups = []
-        for g in range(G):
-            qg = q4[:, :, g, :]
-            s_new = jnp.sum(knf * qg, axis=-1) * scale    # (B, Hkv)
-            m_tot = jnp.maximum(m[g], s_new)
-            corr = jnp.exp(m[g] - m_tot)
+        if attn_impl == "mxu":
+            qb = q.reshape(B * kv_heads, G, D)            # bf16
+            m = jnp.full((B * kv_heads, G), NEG_INF, jnp.float32)
+            den = jnp.zeros((B * kv_heads, G), jnp.float32)
+            acc = jnp.zeros((B * kv_heads, G, D), jnp.float32)
+            for c in range(nS):
+                sl = slice(c * Sc, (c + 1) * Sc)
+                kf = k_cache[li, :, :, sl].reshape(B * kv_heads, Sc, D)
+                vf = v_cache[li, :, :, sl].reshape(B * kv_heads, Sc, D)
+                s = jax.lax.dot_general(
+                    qb, kf, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # (BHkv, G, Sc)
+                bc = jnp.broadcast_to(
+                    bias[:, :, sl].reshape(B, 1, 1, Sc),
+                    (B, kv_heads, G, Sc)).reshape(B * kv_heads, G, Sc)
+                s = s * scale + bc
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+                corr = jnp.exp(m - m_new)
+                e = jnp.exp(s - m_new[..., None]).astype(jnp.bfloat16)
+                den = den * corr + jnp.sum(e.astype(jnp.float32), axis=-1)
+                pv = jax.lax.dot_general(
+                    e, vf, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)   # (BHkv, G, D)
+                acc = acc * corr[..., None] + pv
+                m = m_new
+            qf = q.reshape(B * kv_heads, G, D).astype(jnp.float32)
+            knf = newks[-1].reshape(B * kv_heads, 1, D).astype(jnp.float32)
+            vnf = newvs[-1].reshape(B * kv_heads, 1, D).astype(jnp.float32)
+            s_new = jnp.sum(qf * knf, axis=-1) * scale    # (BHkv, G)
+            m_tot = jnp.maximum(m, s_new)
+            corr = jnp.exp(m - m_tot)
             e_new = jnp.exp(s_new - m_tot)
             e_new = e_new.astype(jnp.bfloat16).astype(jnp.float32)
-            dd = den[g] * corr + e_new
-            og = (acc[g] * corr[..., None]
+            dd = den * corr + e_new
+            og = (acc * corr[..., None]
                   + e_new[..., None] * vnf) / dd[..., None]
-            o_groups.append(og.reshape(B, kv_heads, 1, D))
-        o = jnp.concatenate(o_groups, axis=2).reshape(B, heads * D)
+            o = og.reshape(B, heads * D)
+        else:
+            q4 = q.reshape(B, kv_heads, G, D).astype(jnp.float32)
+            m = jnp.full((G, B, kv_heads), NEG_INF, jnp.float32)
+            den = jnp.zeros((G, B, kv_heads), jnp.float32)
+            acc = jnp.zeros((G, B, kv_heads, D), jnp.float32)
+            for c in range(nS):
+                sl = slice(c * Sc, (c + 1) * Sc)
+                kf = k_cache[li, :, :, sl].astype(jnp.float32)  # (B,Hkv,Sc,D)
+                vf = v_cache[li, :, :, sl].astype(jnp.float32)
+                bc = bias[:, :, sl]
+                for g in range(G):
+                    qg = q4[:, :, g, :].reshape(B, kv_heads, 1, D)
+                    s = jnp.sum(kf * qg, axis=-1) * scale + bc
+                    m_new = jnp.maximum(m[g], jnp.max(s, axis=-1))
+                    corr = jnp.exp(m[g] - m_new)
+                    e = jnp.exp(s - m_new[..., None])
+                    e = e.astype(jnp.bfloat16).astype(jnp.float32)
+                    den = den.at[g].set(den[g] * corr + jnp.sum(e, axis=-1))
+                    pv = jnp.sum(e[..., None] * vf, axis=2)
+                    acc = acc.at[g].set(acc[g] * corr[..., None] + pv)
+                    m = m.at[g].set(m_new)
+            # fold the fresh K/V slot (bias masks its stale cached value out)
+            knf = newks[-1].astype(jnp.float32)           # (B, Hkv, D)
+            vnf = newvs[-1].astype(jnp.float32)
+            o_groups = []
+            for g in range(G):
+                qg = q4[:, :, g, :]
+                s_new = jnp.sum(knf * qg, axis=-1) * scale  # (B, Hkv)
+                m_tot = jnp.maximum(m[g], s_new)
+                corr = jnp.exp(m[g] - m_tot)
+                e_new = jnp.exp(s_new - m_tot)
+                e_new = e_new.astype(jnp.bfloat16).astype(jnp.float32)
+                dd = den[g] * corr + e_new
+                og = (acc[g] * corr[..., None]
+                      + e_new[..., None] * vnf) / dd[..., None]
+                o_groups.append(og.reshape(B, kv_heads, 1, D))
+            o = jnp.concatenate(o_groups, axis=2).reshape(B, heads * D)
         x = x + _mm8(o.astype(jnp.bfloat16), attn["o_proj"]["weight"]["q"][li],
                      attn["o_proj"]["weight"]["s"][li]).astype(jnp.bfloat16)
 

@@ -53,9 +53,10 @@ def _decode_state(cfg, B, S_buf, ci, seed=0):
     return k, v, kv_valid, embed, position
 
 
+@pytest.mark.parametrize("attn_impl", ["vpu", "mxu"])
 @pytest.mark.parametrize("S_buf,attend_len", [(256, 256), (512, 512),
                                               (512, 256)])
-def test_kernel_matches_reference(S_buf, attend_len):
+def test_kernel_matches_reference(S_buf, attend_len, attn_impl):
     """Kernel (interpret) vs the same-math JAX ref: identical chunking and
     reduction order, so logits/hidden agree tightly and the written KV slot
     is bit-identical."""
@@ -71,10 +72,10 @@ def test_kernel_matches_reference(S_buf, attend_len):
 
     lg_k, h_k, kk, vk = talker_step_fused_cache(
         params, cfg, embed, position, ci, kv_valid, kf, vf,
-        attend_len=attend_len, interpret=True)
+        attend_len=attend_len, attn_impl=attn_impl, interpret=True)
     lg_r, h_r, kr, vr = talker_step_ref(
         params, cfg, embed, position, ci, kv_valid, kf, vf,
-        attend_len=attend_len)
+        attend_len=attend_len, attn_impl=attn_impl)
 
     np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_r),
                                rtol=0.02, atol=0.05)
