@@ -405,29 +405,40 @@ def _cp_project(cp: Params, x: jax.Array) -> jax.Array:
 def code_predictor_frame_dispatch(params: Params, cfg: TalkerConfig,
                                   past_hidden: jax.Array,
                                   code0_embed: jax.Array, key: jax.Array,
-                                  sampling, fused: bool = False
+                                  sampling, fused: bool = False,
+                                  rows: Optional[jax.Array] = None,
+                                  rows_top_k: int = 0
                                   ) -> Tuple[jax.Array, jax.Array]:
     """Route one sub-talker frame to the XLA scan or the fused Pallas
     megakernel (ops/pallas/subtalker.py — weights VMEM-resident, W8A8).
+
+    `rows` ((B, 5) f32, SamplingParams.as_row layout) carries PER-SLOT
+    sub-talker sampling for the serving engine; `sampling` is then ignored.
+    On the XLA path `rows_top_k` is the static candidate width per-row k is
+    masked within (0 = full-vocab path, any k).  The fused kernel takes
+    temperature/top_k as data, so any per-row k works there.
 
     The fused path needs int8 params and a jit wrapped with
     `runtime.jit_options.decode_compiler_options()` (the kernel keeps ~94 MB
     of weights in VMEM, above XLA's default scoped-vmem limit)."""
     if not fused:
         return code_predictor_frame(params, cfg, past_hidden, code0_embed,
-                                    key, sampling)
+                                    key, sampling, rows=rows,
+                                    rows_top_k=rows_top_k)
     from ..ops.pallas.subtalker import subtalker_frame_fused
 
     interpret = jax.devices()[0].platform != "tpu"
     return subtalker_frame_fused(params["code_predictor"],
                                  cfg.code_predictor_config, past_hidden,
-                                 code0_embed, key, sampling,
+                                 code0_embed, key, sampling, rows=rows,
                                  interpret=interpret)
 
 
 def code_predictor_frame(params: Params, cfg: TalkerConfig,
                          past_hidden: jax.Array, code0_embed: jax.Array,
-                         key: jax.Array, sampling) -> Tuple[jax.Array, jax.Array]:
+                         key: jax.Array, sampling,
+                         rows: Optional[jax.Array] = None,
+                         rows_top_k: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Generate codebooks 1..Q-1 for one frame.
 
     past_hidden/code0_embed: (B, 1, talker_hidden).  Returns
@@ -438,8 +449,18 @@ def code_predictor_frame(params: Params, cfg: TalkerConfig,
     (modeling_qwen3_tts.py:1671-1687) as prefill over 2 positions + a
     lax.scan of Q-2 single-position steps with per-step head/table selection
     (reference per-step indexing at 1277-1299).
+
+    `rows`/`rows_top_k`: per-row sampling override (see
+    code_predictor_frame_dispatch).
     """
-    from ..ops.sampling import process_and_sample
+    from ..ops.sampling import process_and_sample, process_and_sample_rows
+
+    if rows is not None:
+        def _sample(logits, sub):
+            return process_and_sample_rows(logits, sub, rows, rows_top_k)
+    else:
+        def _sample(logits, sub):
+            return process_and_sample(logits, sub, sampling)
 
     cp_cfg = cfg.code_predictor_config
     cp = params["code_predictor"]
@@ -463,7 +484,7 @@ def code_predictor_frame(params: Params, cfg: TalkerConfig,
     logits0 = (h[:, -1].astype(jnp.float32)
                @ cp["lm_heads"][0].T.astype(jnp.float32))
     key, sub = jax.random.split(key)
-    code = process_and_sample(logits0, sub, sampling)  # codebook 1
+    code = _sample(logits0, sub)  # codebook 1
 
     emb_sum = jnp.take(cp["embeddings"][0], code, axis=0)[:, None, :].astype(past_hidden.dtype)
 
@@ -482,7 +503,7 @@ def code_predictor_frame(params: Params, cfg: TalkerConfig,
         logits = (h[:, 0].astype(jnp.float32)
                   @ jnp.take(cp["lm_heads"], step, axis=0).T.astype(jnp.float32))
         key, sub = jax.random.split(key)
-        nxt = process_and_sample(logits, sub, sampling)
+        nxt = _sample(logits, sub)
         emb_sum = emb_sum + jnp.take(cp["embeddings"], step, axis=0)[nxt][:, None, :].astype(past_hidden.dtype)
         return (cache, nxt, emb_sum, key), prev_code
 

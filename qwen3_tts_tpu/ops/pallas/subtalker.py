@@ -78,9 +78,10 @@ def _rot_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
-def _kth_value_bits(logits: jax.Array, k: int) -> jax.Array:
+def _kth_value_bits(logits: jax.Array, k) -> jax.Array:
     """Exact k-th largest value per row via binary search on the monotone
-    int32 image of fp32 bits (32 iterations, no sort).
+    int32 image of fp32 bits (32 iterations, no sort).  k: scalar int or
+    per-row (B, 1) int32.
 
     Order-preserving map (radix-sort float trick, kept in signed int32):
     positive floats keep their bits; negative floats map to
@@ -107,16 +108,22 @@ def _kth_value_bits(logits: jax.Array, k: int) -> jax.Array:
     return jax.lax.bitcast_convert_type(bits_t, jnp.float32)
 
 
-def _process_logits(logits: jax.Array, do_sample: bool, temperature: float,
-                    top_k: int) -> jax.Array:
-    """Temperature + top-k filter (HF semantics: mask logits < kth)."""
+def _process_logits(logits: jax.Array, do_sample: bool, temp, top_k
+                    ) -> jax.Array:
+    """Temperature + top-k filter (HF semantics: mask logits < kth).
+
+    temp/top_k are per-ROW arrays ((B, 1) f32 / int32) so sampling knobs are
+    DATA, not program constants: one compiled kernel serves every
+    temperature/top_k (and the engine can carry them per slot).  Rows with
+    top_k <= 0 or >= V keep the full distribution; `do_sample` stays a
+    static switch so the greedy program carries none of this machinery."""
     if not do_sample:
         return logits
-    lt = logits / temperature
-    if 0 < top_k < lt.shape[-1]:
-        kth = _kth_value_bits(lt, top_k)
-        lt = jnp.where(lt < kth, NEG_INF, lt)
-    return lt
+    lt = logits / temp
+    V = lt.shape[-1]
+    kth = _kth_value_bits(lt, jnp.clip(top_k, 1, V))
+    kth = jnp.where((top_k > 0) & (top_k < V), kth, NEG_INF)
+    return jnp.where(lt < kth, NEG_INF, lt)
 
 
 # ---------------------------------------------------------------------------
@@ -124,7 +131,8 @@ def _process_logits(logits: jax.Array, do_sample: bool, temperature: float,
 # ---------------------------------------------------------------------------
 
 
-def _subtalker_kernel(x0_ref, cos_ref, sin_ref, gumbel_ref, projw_ref, projb_ref,
+def _subtalker_kernel(x0_ref, cos_ref, sin_ref, gumbel_ref, temp_ref, k_ref,
+                      projw_ref, projb_ref,
                       qkvq_ref, qkvs_ref, oq_ref, os_ref, guq_ref, gus_ref,
                       dnq_ref, dns_ref, ln1_ref, ln2_ref, qn_ref, kn_ref,
                       fnw_ref, heads_hbm, embeds_hbm,
@@ -132,8 +140,7 @@ def _subtalker_kernel(x0_ref, cos_ref, sin_ref, gumbel_ref, projw_ref, projb_ref
                       kvk, kvv, headbuf, embbuf, headsem, embsem, *,
                       B: int, Ht: int, Hc: int, heads: int, kv_heads: int,
                       D: int, inter: int, V: int, Qm1: int, eps: float,
-                      has_proj: bool, do_sample: bool, temperature: float,
-                      top_k: int, smax: int):
+                      has_proj: bool, do_sample: bool, smax: int):
     G = heads // kv_heads
     nq, nkv = heads * D, kv_heads * D
     scale = D ** -0.5
@@ -224,7 +231,7 @@ def _subtalker_kernel(x0_ref, cos_ref, sin_ref, gumbel_ref, projw_ref, projb_ref
         head = headbuf[slot].astype(jnp.float32)               # (V, Hc)
         logits = jax.lax.dot_general(hn, head, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        lt = _process_logits(logits, do_sample, temperature, top_k)
+        lt = _process_logits(logits, do_sample, temp_ref[:], k_ref[:])
         if do_sample:
             lt = lt + gumbel_ref[i - 1]
         codes = jnp.argmax(lt, axis=-1).astype(jnp.int32)      # (B,)
@@ -265,6 +272,7 @@ def _subtalker_kernel(x0_ref, cos_ref, sin_ref, gumbel_ref, projw_ref, projb_ref
 def subtalker_frame_fused(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
                           code0_embed: jax.Array, key: jax.Array, sampling,
                           rope_theta: float | None = None,
+                          rows: jax.Array | None = None,
                           interpret: bool = False
                           ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in fused replacement for `code_predictor_frame`'s compute.
@@ -272,6 +280,14 @@ def subtalker_frame_fused(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
     cp: prepared code-predictor params with int8 layer weights
     (quantize_talker_params layout). past_hidden/code0_embed: (B, 1, Ht).
     Returns (codes (B, Q-1) int32, emb_sum (B, 1, Ht) bf16).
+
+    Temperature and top_k enter the kernel as per-row DATA, so one compiled
+    program serves every sampling config.  `rows` ((B, 5) f32,
+    SamplingParams.as_row layout) overrides `sampling` per row for the
+    serving engine; greedy rows (do_sample=0) get temp=1 / k=0 / zero
+    gumbel, reproducing their solo argmax exactly.  Per-row top_p must be 1
+    (validated by the engine at submit — rows is traced here); the uniform
+    `sampling.top_p` is validated below.
     """
     from ...ops.rope import default_inv_freq, rope_tables
 
@@ -279,7 +295,7 @@ def subtalker_frame_fused(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
     wq = layers["self_attn"]["qkv_proj"]["weight"]
     if not (isinstance(wq, dict) and "q" in wq):
         raise ValueError("fused sub-talker requires int8-quantized params")
-    if sampling.top_p < 1.0:
+    if rows is None and sampling.top_p < 1.0:
         raise ValueError("fused sub-talker does not support top_p < 1")
 
     B = past_hidden.shape[0]
@@ -308,17 +324,28 @@ def subtalker_frame_fused(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
         projw = jnp.zeros((Hc, Ht), jnp.bfloat16)
         projb = jnp.zeros((1, Hc), jnp.bfloat16)
 
-    if sampling.do_sample:
-        gumbel = jax.random.gumbel(key, (Qm1, B, V), jnp.float32)
+    if rows is not None:
+        do_sample = True            # machinery on; greedy rows neutralized
+        row_on = rows[:, 3] > 0.5
+        temp = jnp.where(row_on, jnp.maximum(rows[:, 0], 1e-6), 1.0)
+        kvec = jnp.where(row_on, rows[:, 4].astype(jnp.int32), 0)
+        gumbel = jnp.where(
+            row_on[None, :, None],
+            jax.random.gumbel(key, (Qm1, B, V), jnp.float32), 0.0)
     else:
-        gumbel = jnp.zeros((1, 1, 1), jnp.float32)
+        do_sample = bool(sampling.do_sample)
+        temp = jnp.full((B,), float(sampling.temperature) if do_sample
+                        else 1.0, jnp.float32)
+        kvec = jnp.full((B,), int(sampling.top_k), jnp.int32)
+        gumbel = (jax.random.gumbel(key, (Qm1, B, V), jnp.float32)
+                  if do_sample else jnp.zeros((1, 1, 1), jnp.float32))
+    temp = temp.astype(jnp.float32)[:, None]    # (B, 1)
+    kvec = kvec[:, None]                        # (B, 1)
 
     kernel = functools.partial(
         _subtalker_kernel, B=B, Ht=Ht, Hc=Hc, heads=heads, kv_heads=kv_heads,
         D=D, inter=inter, V=V, Qm1=Qm1, eps=eps, has_proj=has_proj,
-        do_sample=bool(sampling.do_sample),
-        temperature=float(sampling.temperature), top_k=int(sampling.top_k),
-        smax=smax)
+        do_sample=do_sample, smax=smax)
 
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbmspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -326,7 +353,7 @@ def subtalker_frame_fused(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
         kernel,
         out_shape=(jax.ShapeDtypeStruct((B, Qm1), jnp.int32),
                    jax.ShapeDtypeStruct((B, Ht), jnp.bfloat16)),
-        in_specs=[vspec] * 19 + [hbmspec, hbmspec],
+        in_specs=[vspec] * 21 + [hbmspec, hbmspec],
         out_specs=(vspec, vspec),
         scratch_shapes=[
             pltpu.VMEM((wq["q"].shape[0], smax, B * kv_heads, D), jnp.bfloat16),
@@ -339,7 +366,7 @@ def subtalker_frame_fused(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(x0, cos, sin, gumbel, projw, projb,
+    )(x0, cos, sin, gumbel, temp, kvec, projw, projb,
       attn["qkv_proj"]["weight"]["q"], attn["qkv_proj"]["weight"]["s"],
       attn["o_proj"]["weight"]["q"], attn["o_proj"]["weight"]["s"],
       mlp["gate_up_proj"]["weight"]["q"], mlp["gate_up_proj"]["weight"]["s"],
@@ -371,10 +398,12 @@ def _pad_rows_to_8(x):
 
 def subtalker_frame_ref(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
                         code0_embed: jax.Array, key: jax.Array, sampling,
-                        rope_theta: float | None = None
+                        rope_theta: float | None = None,
+                        rows: jax.Array | None = None
                         ) -> Tuple[jax.Array, jax.Array]:
     """Plain-JAX implementation of the IDENTICAL W8A8 math, including the
-    sampled path (same externally-drawn Gumbel noise as the kernel)."""
+    sampled path (same externally-drawn Gumbel noise as the kernel) and the
+    per-row `rows` override."""
     from ...ops.rope import default_inv_freq, rope_tables
 
     layers = cp["layers"]
@@ -400,8 +429,22 @@ def subtalker_frame_ref(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
     kvk = jnp.zeros((n_layers, smax, B * kv_heads, D), jnp.bfloat16)
     kvv = jnp.zeros((n_layers, smax, B * kv_heads, D), jnp.bfloat16)
     V = cp["lm_heads"].shape[1]
-    if sampling.do_sample:
-        gumbel = jax.random.gumbel(key, (Qm1, B, V), jnp.float32)
+    if rows is not None:
+        do_sample = True
+        row_on = rows[:, 3] > 0.5
+        temp = jnp.where(row_on, jnp.maximum(rows[:, 0], 1e-6), 1.0
+                         ).astype(jnp.float32)[:, None]
+        kvec = jnp.where(row_on, rows[:, 4].astype(jnp.int32), 0)[:, None]
+        gumbel = jnp.where(
+            row_on[None, :, None],
+            jax.random.gumbel(key, (Qm1, B, V), jnp.float32), 0.0)
+    else:
+        do_sample = bool(sampling.do_sample)
+        temp = jnp.full((B, 1), float(sampling.temperature) if do_sample
+                        else 1.0, jnp.float32)
+        kvec = jnp.full((B, 1), int(sampling.top_k), jnp.int32)
+        if do_sample:
+            gumbel = jax.random.gumbel(key, (Qm1, B, V), jnp.float32)
 
     def project(x_raw):
         if cp.get("proj") is None:
@@ -474,9 +517,8 @@ def subtalker_frame_ref(cp: Dict[str, Any], cp_cfg, past_hidden: jax.Array,
         head = cp["lm_heads"][i - 1].astype(jnp.bfloat16).astype(jnp.float32)
         logits = jax.lax.dot_general(hn, head, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-        lt = _process_logits(logits, sampling.do_sample,
-                             sampling.temperature, sampling.top_k)
-        if sampling.do_sample:
+        lt = _process_logits(logits, do_sample, temp, kvec)
+        if do_sample:
             lt = lt + gumbel[i - 1]
         codes = jnp.argmax(lt, axis=-1).astype(jnp.int32)
         codes_all.append(codes)

@@ -67,8 +67,13 @@ class SlotState(NamedTuple):
     # requests carry their own sampling like the reference's per-call
     # generate kwargs.  Per-row top_k is a rank mask inside the engine's
     # static candidate width (gen_cfg.sampling.top_k), so it must be <= that
-    # width; sub-talker sampling stays per-engine (static in the program)
+    # width
     sampling: jax.Array       # (B, 5) f32
+    # per-slot SUB-talker sampling, same row layout (the reference's
+    # subtalker_* generate kwargs, modeling_qwen3_tts.py:2044-2058).  The
+    # fused megakernel takes temperature/top_k as data (any k); the XLA
+    # path masks per-row k inside gen_cfg.subtalker.top_k's candidate width
+    sub_sampling: jax.Array   # (B, 5) f32
     # ---- staging pool (prefilled requests awaiting a free slot) ----
     staged_k: jax.Array           # (L, K, Lp, Hkv, D)
     staged_v: jax.Array           # (L, K, Lp, Hkv, D)
@@ -82,6 +87,7 @@ class SlotState(NamedTuple):
     staged_req_id: jax.Array      # (K,)
     staged_valid: jax.Array       # (K,) bool
     staged_sampling: jax.Array    # (K, 5) f32
+    staged_sub_sampling: jax.Array  # (K, 5) f32
     # int8 KV mode only (None otherwise): staging-pool scale buffers
     staged_k_scale: Optional[jax.Array] = None  # (L, K, Lp, Hkv) fp32
     staged_v_scale: Optional[jax.Array] = None
@@ -115,6 +121,7 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         max_frames=jnp.zeros((B,), jnp.int32),
         req_id=jnp.full((B,), -1, jnp.int32),
         sampling=jnp.zeros((B, 5), jnp.float32),
+        sub_sampling=jnp.zeros((B, 5), jnp.float32),
         staged_k=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
         staged_v=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
         staged_k_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
@@ -131,6 +138,7 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         staged_req_id=jnp.full((K,), -1, jnp.int32),
         staged_valid=jnp.zeros((K,), bool),
         staged_sampling=jnp.zeros((K, 5), jnp.float32),
+        staged_sub_sampling=jnp.zeros((K, 5), jnp.float32),
     )
 
 
@@ -138,7 +146,8 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
 def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
                    gen_cfg: GenerationConfig, embeds_rows, mask_rows,
                    trailing_rows, meta: jax.Array, tts_pad: jax.Array,
-                   key: jax.Array, sampling_rows: jax.Array) -> SlotState:
+                   key: jax.Array, sampling_rows: jax.Array,
+                   sub_sampling_rows: jax.Array) -> SlotState:
     """Prefill a batch of N staged requests and write them into staging pool
     rows (meta[:, 3]; entries with meta[:, 4] == 0 are padding and ignored).
 
@@ -212,6 +221,8 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
         staged_valid=jnp.where(hit, True, state.staged_valid),
         staged_sampling=merge(state.staged_sampling,
                               sampling_rows.astype(jnp.float32), 0),
+        staged_sub_sampling=merge(state.staged_sub_sampling,
+                                  sub_sampling_rows.astype(jnp.float32), 0),
         tts_pad=jnp.asarray(tts_pad, state.tts_pad.dtype),
     )
 
@@ -288,6 +299,8 @@ def _install_all(state: SlotState) -> SlotState:
             max_frames=st.max_frames.at[slot].set(st.staged_max_frames[ridx]),
             req_id=st.req_id.at[slot].set(st.staged_req_id[ridx]),
             sampling=st.sampling.at[slot].set(st.staged_sampling[ridx]),
+            sub_sampling=st.sub_sampling.at[slot].set(
+                st.staged_sub_sampling[ridx]),
             staged_valid=st.staged_valid.at[ridx].set(False),
         )
 
@@ -401,9 +414,15 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
     code0_embed = jnp.take(params["codec_embedding"], state.code0, axis=0
                            )[:, None, :].astype(dtype)
     key, k1, k2 = jax.random.split(key, 3)
+    # per-slot sub-talker sampling rides the rows path only when the engine
+    # is compiled with a sampling sub-talker (gen_cfg is static here): a
+    # greedy engine keeps the sampling machinery out of its program entirely
+    # (submit() rejects sampling sub_sampling overrides on such engines)
+    sub_rows = state.sub_sampling if gen_cfg.subtalker.do_sample else None
     sub_codes, sub_emb_sum = code_predictor_frame_dispatch(
         params, cfg, state.last_hidden, code0_embed, k1, gen_cfg.subtalker,
-        fused=gen_cfg.fused_subtalker)
+        fused=gen_cfg.fused_subtalker, rows=sub_rows,
+        rows_top_k=gen_cfg.subtalker.top_k)
     frames = jnp.concatenate([state.code0[:, None], sub_codes], axis=1)
 
     # dual-track merge with per-slot trailing index
@@ -532,8 +551,14 @@ class Request:
     max_frames: int = 2047
     # per-request talker sampling override (temperature / top_p /
     # repetition_penalty / do_sample); None = the engine's gen_cfg.sampling.
-    # top_k and sub-talker sampling stay per-engine (static in the program).
+    # Per-request top_k must fit the engine's compiled candidate width
+    # (gen_cfg.sampling.top_k).
     sampling: Optional[SamplingParams] = None
+    # per-request SUB-talker sampling override (the reference's subtalker_*
+    # generate kwargs); None = the engine's gen_cfg.subtalker.  With
+    # fused_subtalker the kernel takes these as data (any top_k, top_p must
+    # be 1); the XLA path masks top_k within gen_cfg.subtalker.top_k.
+    sub_sampling: Optional[SamplingParams] = None
 
 
 @dataclass
@@ -699,10 +724,32 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 f"request top_k={sp.top_k} exceeds the engine's compiled "
                 f"candidate width top_k={K}")
+        ssp = (req.sub_sampling if req.sub_sampling is not None
+               else self.gen_cfg.subtalker)
+        if ssp.do_sample and not self.gen_cfg.subtalker.do_sample:
+            # the engine's compiled program omits the sub-talker sampling
+            # machinery when its gen_cfg sub-talker is greedy
+            raise ValueError(
+                "request asks for sampled sub-talker codes but the engine "
+                "was built with a greedy gen_cfg.subtalker; construct the "
+                "engine with subtalker do_sample=True to serve it")
+        if self.gen_cfg.fused_subtalker:
+            if ssp.do_sample and ssp.top_p < 1.0:
+                raise ValueError(
+                    "the fused sub-talker kernel does not support "
+                    f"top_p < 1 (request sub_sampling.top_p={ssp.top_p})")
+        else:
+            Ks = self.gen_cfg.subtalker.top_k
+            cp_v = self.cfg.code_predictor_config.vocab_size
+            if ssp.do_sample and 0 < Ks < (ssp.top_k if ssp.top_k > 0
+                                           else cp_v):
+                raise ValueError(
+                    f"request sub-talker top_k={ssp.top_k} exceeds the "
+                    f"engine's compiled candidate width top_k={Ks}")
         srow = sp.as_row()
         self.pending.append((req.request_id, e, m, tr,
                              min(req.trailing_len, self.max_trailing), mf,
-                             srow))
+                             srow, ssp.as_row()))
 
     def cancel(self, request_id) -> bool:
         """Best-effort cancel: the request never completes and its slot /
@@ -766,11 +813,13 @@ class ContinuousBatchingEngine:
         embeds_rows, mask_rows, trailing_rows = [], [], []
         meta = np.zeros((Nb, 5), np.int32)
         srows = np.zeros((Nb, 5), np.float32)
+        ssrows = np.zeros((Nb, 5), np.float32)
         for i in range(Nb):
             if i < n:
-                rid, e, m, tr, tlen, mf, srow = self.pending.popleft()
+                rid, e, m, tr, tlen, mf, srow, ssrow = self.pending.popleft()
                 meta[i] = (rid, mf, tlen, free_rows[i], 1)
                 srows[i] = srow
+                ssrows[i] = ssrow
                 self.frames_acc[rid] = []
                 self.req_max_frames[rid] = mf
                 self.staged_rows_busy[free_rows[i]] = rid
@@ -784,7 +833,8 @@ class ContinuousBatchingEngine:
         self.state = stage_requests(
             self.params, self.cfg, self.state, self.gen_cfg,
             tuple(embeds_rows), tuple(mask_rows), tuple(trailing_rows),
-            jnp.asarray(meta), self._tts_pad_dev, sub, jnp.asarray(srows))
+            jnp.asarray(meta), self._tts_pad_dev, sub, jnp.asarray(srows),
+            jnp.asarray(ssrows))
         return n
 
     def _next_ticks(self) -> int:

@@ -183,16 +183,11 @@ class TTSServer:
 
     # -- submission ------------------------------------------------------
 
-    def _sampling_override(self, temperature=None, top_p=None,
-                           repetition_penalty=None, do_sample=None,
-                           top_k=None):
-        """Per-request talker sampling (engine defaults where None).
-        `top_k` must be <= the engine's compiled candidate width (its static
-        top_k — the engine validates); sub-talker sampling stays per-engine
-        (static in the program)."""
+    @staticmethod
+    def _override(base, temperature=None, top_p=None,
+                  repetition_penalty=None, do_sample=None, top_k=None):
         import dataclasses
 
-        base = self.gen_cfg.sampling
         if all(v is None for v in (temperature, top_p, repetition_penalty,
                                    do_sample, top_k)):
             return None
@@ -206,9 +201,25 @@ class TTSServer:
             do_sample=base.do_sample if do_sample is None else bool(do_sample),
             top_k=base.top_k if top_k is None else int(top_k))
 
+    def _sampling_overrides(self, **kw):
+        """Split per-request sampling kwargs into talker and sub-talker
+        overrides (engine defaults where None), mirroring the reference's
+        flat kwargs surface: temperature/top_p/top_k/do_sample/
+        repetition_penalty for the talker, the same names prefixed
+        `subtalker_` for the code predictor (qwen3_tts_model.py:287-352).
+        Talker top_k must be <= the engine's compiled candidate width; the
+        engine validates both at submit."""
+        sub_kw = {k[len("subtalker_"):]: v for k, v in kw.items()
+                  if k.startswith("subtalker_")}
+        talker_kw = {k: v for k, v in kw.items()
+                     if not k.startswith("subtalker_")}
+        return (self._override(self.gen_cfg.sampling, **talker_kw),
+                self._override(self.gen_cfg.subtalker, **sub_kw))
+
     def _submit_specs(self, request_id, specs, stream: bool,
                       ref_code: Optional[np.ndarray],
-                      max_frames: Optional[int], sampling=None) -> None:
+                      max_frames: Optional[int], sampling=None,
+                      sub_sampling=None) -> None:
         from .prompts import build_prompt
 
         if request_id in self._by_user_id:
@@ -252,7 +263,8 @@ class TTSServer:
             trailing_len=trailing_len,
             tts_pad=pad,
             max_frames=mf,
-            sampling=sampling))
+            sampling=sampling,
+            sub_sampling=sub_sampling))
         self._states[rid] = st
         self._by_user_id[request_id] = rid
         self.metrics.count("server.submits")
@@ -266,7 +278,7 @@ class TTSServer:
         specs = self.model._specs_custom_voice(
             text, speaker, language, instruct, non_streaming=False)
         self._submit_specs(request_id, specs, stream, None, max_frames,
-                           sampling=self._sampling_override(**sampling_kw))
+                           *self._sampling_overrides(**sampling_kw))
 
     def submit_voice_design(self, request_id, text: str, instruct: str,
                             language: Optional[str] = None,
@@ -276,7 +288,7 @@ class TTSServer:
         specs = self.model._specs_voice_design(
             text, instruct, language, non_streaming=False)
         self._submit_specs(request_id, specs, stream, None, max_frames,
-                           sampling=self._sampling_override(**sampling_kw))
+                           *self._sampling_overrides(**sampling_kw))
 
     def submit_voice_clone(self, request_id, text: str,
                            language: Optional[str] = None,
@@ -293,7 +305,7 @@ class TTSServer:
         self._submit_specs(request_id, specs, stream,
                            None if ref_code is None else np.asarray(ref_code),
                            max_frames,
-                           sampling=self._sampling_override(**sampling_kw))
+                           *self._sampling_overrides(**sampling_kw))
 
     def abort_all(self) -> None:
         """Drop every in-flight request (engine + server bookkeeping).

@@ -635,3 +635,102 @@ def test_engine_cancel():
     engine.submit(req(5, 1))
     done = {c.request_id: c.codes for c in engine.run_until_drained()}
     np.testing.assert_array_equal(done[5], want[1])
+
+
+@requires_reference
+def test_engine_per_request_subtalker_sampling_isolated():
+    """Per-request SUB-talker sampling: a request overriding the engine's
+    sampled sub-talker back to greedy must reproduce its solo one-shot
+    generation exactly while a high-temperature sub-sampled request decodes
+    alongside (reference parity: per-call subtalker_* generate kwargs,
+    modeling_qwen3_tts.py:2044-2058, carried per slot here)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=8)
+    # engine default: greedy talker, SAMPLED sub-talker at high temperature
+    eng_cfg = dataclasses.replace(
+        gen_cfg, subtalker=SamplingParams(do_sample=True, temperature=3.0,
+                                          top_k=0, repetition_penalty=1.0))
+    embeds, mask, trailing, pad = _random_inputs(31)
+    want = _one_shot(params, cfg, gen_cfg, embeds, mask, trailing, pad)
+
+    engine = ContinuousBatchingEngine(params, cfg, eng_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+
+    def req(i, b, sub_sampling=None):
+        n = int(mask[b].sum())
+        L = embeds.shape[1]
+        sl = slice(L - n, L)
+        return Request(
+            request_id=i,
+            inputs_embeds=jnp.asarray(embeds[b:b + 1, sl]),
+            attn_mask=jnp.asarray(mask[b:b + 1, sl]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=gen_cfg.max_new_tokens - 1,
+            sub_sampling=sub_sampling)
+
+    # request 0: greedy sub-talker override; request 1: engine default
+    engine.submit(req(0, 0, sub_sampling=gen_cfg.subtalker))
+    engine.submit(req(1, 1))
+    got = {c.request_id: c.codes for c in engine.run_until_drained()}
+    assert set(got) == {0, 1}
+    np.testing.assert_array_equal(got[0], want[0])
+    # the sampled request's sub-codes (columns 1..Q-1) must differ from its
+    # greedy run somewhere (temperature 3 on random weights)
+    want1 = want[1][:len(got[1])]
+    assert (got[1][:, 1:] != want1[:, 1:]).any()
+
+
+@requires_reference
+def test_engine_subtalker_submit_validation():
+    """A greedy-sub-talker engine must reject sampled sub_sampling
+    overrides loudly (its compiled program omits the sampling machinery),
+    and a fused-sub-talker engine must reject sub top_p < 1."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=4)
+    embeds, mask, trailing, pad = _random_inputs(5)
+    engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=2,
+                                      max_len=64, max_trailing=8,
+                                      dtype=jnp.float32)
+
+    def req(i, sub_sampling):
+        return Request(
+            request_id=i,
+            inputs_embeds=jnp.asarray(embeds[:1]),
+            attn_mask=jnp.asarray(mask[:1]),
+            trailing=jnp.asarray(trailing[:1]),
+            trailing_len=trailing.shape[1],
+            tts_pad=jnp.asarray(pad),
+            max_frames=2,
+            sub_sampling=sub_sampling)
+
+    with pytest.raises(ValueError, match="greedy gen_cfg.subtalker"):
+        engine.submit(req(0, SamplingParams(do_sample=True)))
+
+    eng2 = ContinuousBatchingEngine(
+        params, cfg,
+        dataclasses.replace(
+            gen_cfg,
+            subtalker=SamplingParams(do_sample=True, top_k=8)),
+        num_slots=2, max_len=64, max_trailing=8, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="candidate width"):
+        eng2.submit(req(1, SamplingParams(do_sample=True, top_k=32)))

@@ -169,3 +169,67 @@ def test_generate_frames_fused_subtalker_end_to_end():
     # W8A8 sub-codes diverge and feed back; expect strong agreement overall
     agree = (codes_x == codes_f).mean()
     assert agree >= 0.6, f"fused vs xla generate agreement {agree}"
+
+
+def test_fused_kernel_per_row_sampling_rows():
+    """Per-row `rows` override: the kernel (interpret) matches the ref twin
+    with a mixed batch — row 0 greedy, rows 1-2 sampled at different
+    temperatures/top_k, row 3 sampled with no top_k.  The greedy row must
+    also reproduce the all-greedy uniform run exactly (its gumbel is zeroed
+    and temp/k neutralized)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.pallas.subtalker import (subtalker_frame_fused,
+                                                    subtalker_frame_ref)
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+
+    cfg, cp, hidden, c0e = _tiny_cp()
+    rows = jnp.asarray(np.stack([
+        SamplingParams(do_sample=False).as_row(),
+        SamplingParams(do_sample=True, temperature=0.7, top_k=4).as_row(),
+        SamplingParams(do_sample=True, temperature=2.0, top_k=16).as_row(),
+        SamplingParams(do_sample=True, temperature=1.1, top_k=0).as_row(),
+    ]))
+    key = jax.random.PRNGKey(21)
+    ck, _ = subtalker_frame_fused(cp, cfg.code_predictor_config, hidden, c0e,
+                                  key, None, rows=rows, interpret=True)
+    cr, _ = subtalker_frame_ref(cp, cfg.code_predictor_config, hidden, c0e,
+                                key, None, rows=rows)
+    ck, cr = np.asarray(ck), np.asarray(cr)
+    assert (ck == cr).mean() >= 0.8, (ck, cr)
+
+    greedy, _ = subtalker_frame_ref(cp, cfg.code_predictor_config, hidden,
+                                    c0e, key, SamplingParams(do_sample=False))
+    np.testing.assert_array_equal(cr[0], np.asarray(greedy)[0])
+    assert (cr >= 0).all() and (cr < 64).all()
+
+
+def test_fused_kernel_sampling_knobs_are_data():
+    """Temperature/top_k enter the kernel as arrays: two different sampling
+    configs must reuse ONE compiled program (no recompile per knob change —
+    remote TPU compiles cost minutes)."""
+    import jax
+
+    from qwen3_tts_tpu.ops.pallas.subtalker import subtalker_frame_fused
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+
+    import jax.numpy as jnp
+
+    cfg, cp, hidden, c0e = _tiny_cp()
+
+    def run_rows(rows, key):
+        return subtalker_frame_fused(cp, cfg.code_predictor_config, hidden,
+                                     c0e, key, None, rows=rows,
+                                     interpret=True)
+
+    jitted = jax.jit(run_rows)
+    r1 = jnp.asarray(np.stack([SamplingParams(
+        do_sample=True, temperature=0.9, top_k=8).as_row()] * 4))
+    r2 = jnp.asarray(np.stack([SamplingParams(
+        do_sample=True, temperature=1.7, top_k=32).as_row()] * 4))
+    k = jax.random.PRNGKey(0)
+    jitted(r1, k)
+    n1 = jitted._cache_size()
+    jitted(r2, k)
+    assert jitted._cache_size() == n1, "sampling knobs caused a recompile"

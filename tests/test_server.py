@@ -355,3 +355,30 @@ def test_zero_frame_and_overlong_requests(cv_model):
         tight.submit_custom_voice("long", text="does not fit",
                                   speaker="vivian", language="english")
     assert not tight.busy
+
+
+def test_sampling_overrides_kwarg_split():
+    """The server maps flat reference-style kwargs: bare names to the talker
+    override, `subtalker_*` names to the sub-talker override, None where a
+    group has no overrides."""
+    from types import SimpleNamespace
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.server import TTSServer
+
+    gen_cfg = SimpleNamespace(
+        sampling=SamplingParams(do_sample=False, top_k=50),
+        subtalker=SamplingParams(do_sample=True, top_k=8, temperature=0.9))
+    fake = SimpleNamespace(gen_cfg=gen_cfg, _override=TTSServer._override)
+
+    t, s = TTSServer._sampling_overrides(
+        fake, temperature=1.5, subtalker_top_k=4, subtalker_temperature=2.0)
+    assert t.temperature == 1.5 and t.top_k == 50 and not t.do_sample
+    assert s.top_k == 4 and s.temperature == 2.0 and s.do_sample
+
+    t, s = TTSServer._sampling_overrides(fake, subtalker_do_sample=False)
+    assert t is None
+    assert s is not None and not s.do_sample
+
+    t, s = TTSServer._sampling_overrides(fake)
+    assert t is None and s is None
