@@ -49,7 +49,8 @@ def process_and_sample_rows(logits: jax.Array, key: jax.Array,
                             presence: Optional[jax.Array] = None,
                             suppress_mask: Optional[jax.Array] = None,
                             ban_eos: Optional[jax.Array] = None,
-                            eos_id: Optional[int] = None) -> jax.Array:
+                            eos_id: Optional[int] = None,
+                            all_greedy: bool = False) -> jax.Array:
     """Per-ROW sampling for continuous batching: each slot carries its own
     [temperature, top_p, repetition_penalty, do_sample, top_k] (`rows`
     (B, 5), see SamplingParams.as_row).  The static `top_k` argument is the
@@ -62,6 +63,13 @@ def process_and_sample_rows(logits: jax.Array, key: jax.Array,
     take argmax of the penalized/suppressed logits, exactly like
     process_and_sample with do_sample=False — a mixed batch reproduces each
     row's solo behavior.
+
+    `all_greedy=True` (STATIC) skips the sampling machinery entirely and
+    returns the argmax of the penalized/suppressed logits — the rows then
+    only supply repetition_penalty (which HF applies under greedy decode
+    too).  Use it when the caller knows every row is greedy at trace time
+    (generate's canonical-config path), so greedy programs never pay the
+    warp/sort work.
     """
     logits = logits.astype(jnp.float32)
     temp = jnp.maximum(rows[:, 0], 1e-6)[:, None]
@@ -80,6 +88,8 @@ def process_and_sample_rows(logits: jax.Array, key: jax.Array,
         logits = jnp.where(ban_eos[:, None] & eos_col[None, :], NEG_INF, logits)
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if all_greedy:
+        return greedy
     warped = logits / temp
     if 0 < top_k < logits.shape[-1]:
         vals, idx = jax.lax.top_k(warped, top_k)   # sorted descending

@@ -588,6 +588,10 @@ class ContinuousBatchingEngine:
         self.params = params
         self.cfg = cfg
         self.gen_cfg = gen_cfg
+        # the jitted programs see only the canonical config: engines built
+        # with different default temperatures/top_p share compiled programs
+        # (per-slot values come from the sampling rows)
+        self._gen_cfg_exec = gen_cfg.canonical()
         self.num_slots = num_slots
         self.max_trailing = max_trailing
         self.dtype = dtype
@@ -831,7 +835,7 @@ class ContinuousBatchingEngine:
             trailing_rows.append(tr)
         self.key, sub = jax.random.split(self.key)
         self.state = stage_requests(
-            self.params, self.cfg, self.state, self.gen_cfg,
+            self.params, self.cfg, self.state, self._gen_cfg_exec,
             tuple(embeds_rows), tuple(mask_rows), tuple(trailing_rows),
             jnp.asarray(meta), self._tts_pad_dev, sub, jnp.asarray(srows),
             jnp.asarray(ssrows))
@@ -875,7 +879,8 @@ class ContinuousBatchingEngine:
         attend = min(S, ((max_idx + ticks + 1 + ATTEND_BUCKET - 1)
                          // ATTEND_BUCKET) * ATTEND_BUCKET)
         self.state, aux = serve_chunk(
-            self.params, self.cfg, self.state, self.gen_cfg, sub, ticks,
+            self.params, self.cfg, self.state, self._gen_cfg_exec, sub,
+            ticks,
             attend_len=attend, installs_per_tick=self.installs_per_tick)
         self._ramp_i = min(self._ramp_i + 1, len(self.chunk_ramp))
         self._chunks_launched += 1

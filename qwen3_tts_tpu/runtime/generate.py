@@ -35,7 +35,7 @@ import numpy as np
 from ..config import TalkerConfig
 from ..models.talker import (KVCache, StackDims, code_predictor_frame_dispatch,
                              talker_decode_step, talker_prefill)
-from ..ops.sampling import SamplingParams, process_and_sample
+from ..ops.sampling import SamplingParams, process_and_sample_rows
 from .jit_options import decode_jit
 
 Params = Dict[str, Any]
@@ -66,6 +66,34 @@ class GenerationConfig:
     # multiple of 128 slots.
     fused_talker_step: bool = False
 
+    def canonical(self) -> "GenerationConfig":
+        """This config with the DYNAMIC sampling knobs (temperature, top_p,
+        repetition_penalty) reset to fixed sentinels.
+
+        The decode jits take gen_cfg as a static argument; the actual knob
+        values travel as (5,) rows in DecodeConst instead (see
+        sampling_rows), so two calls differing only in those knobs share ONE
+        compiled program — remote TPU compiles of the generation program
+        cost minutes, and the reference surface invites per-call sweeps of
+        exactly these kwargs (qwen3_tts_model.py:287-352).  Structural
+        fields stay static: do_sample selects whether the sampling machinery
+        is compiled in at all, and top_k is the program's candidate width
+        (changing those recompiles, as does max/min_new_tokens)."""
+        import dataclasses
+
+        def canon(s: SamplingParams) -> SamplingParams:
+            return SamplingParams(
+                do_sample=s.do_sample, top_k=s.top_k,
+                top_p=1.0, temperature=1.0, repetition_penalty=1.0)
+
+        return dataclasses.replace(self, sampling=canon(self.sampling),
+                                   subtalker=canon(self.subtalker))
+
+    def sampling_rows(self) -> Tuple[np.ndarray, np.ndarray]:
+        """The dynamic counterpart of canonical(): (talker_row, subtalker_row)
+        in SamplingParams.as_row layout, fed to the jits as data."""
+        return self.sampling.as_row(), self.subtalker.as_row()
+
 
 def suppress_mask_for(cfg: TalkerConfig) -> jnp.ndarray:
     """(V,) bool — the reference suppresses ids [V-1024, V) except codec EOS
@@ -84,6 +112,10 @@ class DecodeConst(NamedTuple):
     valid_prefill: jax.Array   # (B, S) bool — prefill attention validity
     seq_lens: jax.Array        # (B,) real prefill length (rope base position)
     prefill_len: jax.Array     # scalar int — T (first decode cache slot)
+    # dynamic sampling knobs (SamplingParams.as_row layout) — the static
+    # gen_cfg the jits see is canonical()-ized, these carry the real values
+    samp_row: jax.Array        # (5,) f32 talker sampling
+    sub_row: jax.Array         # (5,) f32 sub-talker sampling
 
 
 class DecodeState(NamedTuple):
@@ -106,13 +138,43 @@ class GenerationResult(NamedTuple):
     hidden: jax.Array
 
 
-@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_len"))
 def init_decode_state(params: Params, cfg: TalkerConfig,
                       gen_cfg: GenerationConfig, inputs_embeds: jax.Array,
                       attn_mask: jax.Array, trailing_text: jax.Array,
                       tts_pad_embed: jax.Array, key: jax.Array,
                       max_len: int) -> Tuple[DecodeState, DecodeConst]:
-    """Prefill and sample the first code0. `max_len` is the KV capacity S."""
+    """Prefill and sample the first code0. `max_len` is the KV capacity S.
+
+    The jitted impl sees gen_cfg.canonical(); the dynamic sampling knobs
+    ride in as rows (stored in DecodeConst for frame_step)."""
+    samp_row, sub_row = gen_cfg.sampling_rows()
+    return _init_decode_state(params, cfg, gen_cfg.canonical(),
+                              inputs_embeds, attn_mask, trailing_text,
+                              tts_pad_embed, key, max_len,
+                              jnp.asarray(samp_row), jnp.asarray(sub_row))
+
+
+def _sample_code0(logits, key, gen_cfg, cfg, samp_row, presence, ban):
+    """Talker codebook-0 sampling through the rows path: the dynamic knobs
+    (temperature/top_p/repetition_penalty) come from samp_row so they never
+    enter the compile key; do_sample / candidate-width top_k are static via
+    the canonical gen_cfg (all_greedy skips the warp work entirely)."""
+    B = logits.shape[0]
+    rows = jnp.broadcast_to(samp_row[None, :], (B, 5))
+    return process_and_sample_rows(
+        logits, key, rows, gen_cfg.sampling.top_k, presence=presence,
+        suppress_mask=suppress_mask_for(cfg), ban_eos=ban,
+        eos_id=cfg.codec_eos_token_id,
+        all_greedy=not gen_cfg.sampling.do_sample)
+
+
+@partial(jax.jit, static_argnames=("cfg", "gen_cfg", "max_len"))
+def _init_decode_state(params: Params, cfg: TalkerConfig,
+                       gen_cfg: GenerationConfig, inputs_embeds: jax.Array,
+                       attn_mask: jax.Array, trailing_text: jax.Array,
+                       tts_pad_embed: jax.Array, key: jax.Array,
+                       max_len: int, samp_row: jax.Array, sub_row: jax.Array
+                       ) -> Tuple[DecodeState, DecodeConst]:
     B, T, H = inputs_embeds.shape
     dims = StackDims.from_talker(cfg)
     dtype = inputs_embeds.dtype
@@ -125,10 +187,7 @@ def init_decode_state(params: Params, cfg: TalkerConfig,
     presence = jnp.zeros((B, cfg.vocab_size), bool)
     key, sub = jax.random.split(key)
     ban = jnp.full((B,), 0 < gen_cfg.min_new_tokens)
-    code0 = process_and_sample(logits, sub, gen_cfg.sampling,
-                               presence=presence,
-                               suppress_mask=suppress_mask_for(cfg),
-                               ban_eos=ban, eos_id=cfg.codec_eos_token_id)
+    code0 = _sample_code0(logits, sub, gen_cfg, cfg, samp_row, presence, ban)
 
     valid_prefill = jnp.zeros((B, max_len), bool)
     valid_prefill = jax.lax.dynamic_update_slice(
@@ -139,6 +198,8 @@ def init_decode_state(params: Params, cfg: TalkerConfig,
         valid_prefill=valid_prefill,
         seq_lens=jnp.sum(attn_mask, axis=-1).astype(jnp.int32),
         prefill_len=jnp.int32(T),
+        samp_row=samp_row.astype(jnp.float32),
+        sub_row=sub_row.astype(jnp.float32),
     )
     if gen_cfg.fused_talker_step:
         # one transpose to the kernel's (L, B, Hkv, S, D) layout, amortized
@@ -169,7 +230,6 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     # Hkv, D)
     S = state.cache.k.shape[3 if gen_cfg.fused_talker_step else 2]
     dtype = state.last_hidden.dtype
-    suppress = suppress_mask_for(cfg)
 
     now_done = state.done | (state.code0 == eos)
     presence = state.presence.at[jnp.arange(B), state.code0].set(True)
@@ -177,9 +237,14 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     code0_embed = jnp.take(params["codec_embedding"], state.code0, axis=0
                            )[:, None, :].astype(dtype)
     key, k1, k2 = jax.random.split(state.key, 3)
+    # sub-talker sampling knobs ride as data (const.sub_row) when sampling;
+    # a greedy sub-talker compiles none of the machinery (gen_cfg canonical)
+    sub_rows = (jnp.broadcast_to(const.sub_row[None, :], (B, 5))
+                if gen_cfg.subtalker.do_sample else None)
     sub_codes, sub_emb_sum = code_predictor_frame_dispatch(
         params, cfg, state.last_hidden, code0_embed, k1, gen_cfg.subtalker,
-        fused=gen_cfg.fused_subtalker)
+        fused=gen_cfg.fused_subtalker, rows=sub_rows,
+        rows_top_k=gen_cfg.subtalker.top_k)
     frame = jnp.concatenate([state.code0[:, None], sub_codes], axis=1)
 
     active = ~now_done
@@ -213,9 +278,8 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
             attend_len=attend_len)
 
     ban = jnp.full((B,), state.t + 1 < gen_cfg.min_new_tokens)
-    next_code0 = process_and_sample(logits, k2, gen_cfg.sampling,
-                                    presence=presence, suppress_mask=suppress,
-                                    ban_eos=ban, eos_id=eos)
+    next_code0 = _sample_code0(logits, k2, gen_cfg, cfg, const.samp_row,
+                               presence, ban)
     new_state = DecodeState(cache=cache, code0=next_code0,
                             last_hidden=last_hidden, presence=presence,
                             done=now_done, lengths=lengths,
@@ -223,8 +287,6 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     return new_state, frame, last_hidden[:, 0], active
 
 
-@decode_jit(static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len"),
-            donate_argnums=(4,))
 def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
                  const: DecodeConst, state: DecodeState, num_frames: int,
                  attend_len: Optional[int] = None
@@ -236,8 +298,21 @@ def decode_chunk(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
     prefix of the KV buffer.
 
     Returns (state, frames (B, K, Q), active (B, K)).  Steps past EOS produce
-    inactive rows.
+    inactive rows.  Dynamic sampling knobs come from `const` (built by
+    init_decode_state); gen_cfg is canonical()-ized here so knob changes
+    reuse the compiled chunk program.
     """
+    return _decode_chunk(params, cfg, gen_cfg.canonical(), const, state,
+                         num_frames, attend_len)
+
+
+@decode_jit(static_argnames=("cfg", "gen_cfg", "num_frames", "attend_len"),
+            donate_argnums=(4,))
+def _decode_chunk(params: Params, cfg: TalkerConfig,
+                  gen_cfg: GenerationConfig,
+                  const: DecodeConst, state: DecodeState, num_frames: int,
+                  attend_len: Optional[int] = None
+                  ) -> Tuple[DecodeState, jax.Array, jax.Array]:
     def body(state, _):
         state, frame, _, active = frame_step(
             params, cfg, gen_cfg, const, state, attend_len=attend_len)
@@ -298,7 +373,6 @@ def generate_frames_chunked(params: Params, cfg: TalkerConfig,
     return GenerationResult(jnp.asarray(codes), jnp.asarray(lengths), hidden)
 
 
-@decode_jit(static_argnames=("cfg", "gen_cfg"))
 def generate_frames(params: Params, cfg: TalkerConfig,
                     gen_cfg: GenerationConfig,
                     inputs_embeds: jax.Array, attn_mask: jax.Array,
@@ -310,7 +384,24 @@ def generate_frames(params: Params, cfg: TalkerConfig,
     attn_mask: (B, T) 1 = real token.
     trailing_text: (B, Tt, H) projected trailing text hiddens, pad-filled.
     tts_pad_embed: (1, 1, H) or (B, 1, H).
+
+    Sampling knob changes (temperature/top_p/repetition_penalty) reuse the
+    compiled program: the jit sees gen_cfg.canonical() and the values ride
+    as data.
     """
+    samp_row, sub_row = gen_cfg.sampling_rows()
+    return _generate_frames(params, cfg, gen_cfg.canonical(), inputs_embeds,
+                            attn_mask, trailing_text, tts_pad_embed, key,
+                            jnp.asarray(samp_row), jnp.asarray(sub_row))
+
+
+@decode_jit(static_argnames=("cfg", "gen_cfg"))
+def _generate_frames(params: Params, cfg: TalkerConfig,
+                     gen_cfg: GenerationConfig,
+                     inputs_embeds: jax.Array, attn_mask: jax.Array,
+                     trailing_text: jax.Array, tts_pad_embed: jax.Array,
+                     key: jax.Array, samp_row: jax.Array,
+                     sub_row: jax.Array) -> GenerationResult:
     B, T, H = inputs_embeds.shape
     Q = cfg.num_code_groups
     M = gen_cfg.max_new_tokens
@@ -320,9 +411,9 @@ def generate_frames(params: Params, cfg: TalkerConfig,
         S = -(-S // 128) * 128   # kernel KV chunks are 128 slots
     eos = cfg.codec_eos_token_id
 
-    state, const = init_decode_state(params, cfg, gen_cfg, inputs_embeds,
-                                     attn_mask, trailing_text, tts_pad_embed,
-                                     key, S)
+    state, const = _init_decode_state(params, cfg, gen_cfg, inputs_embeds,
+                                      attn_mask, trailing_text, tts_pad_embed,
+                                      key, S, samp_row, sub_row)
     codes_buf = jnp.zeros((B, max_frames, Q), jnp.int32)
     hidden_buf = jnp.zeros((B, max_frames, H), inputs_embeds.dtype)
 

@@ -345,3 +345,56 @@ def test_sample_top_p_zero_degrades_to_argmax():
             got = np.asarray(process_and_sample(
                 logits, jax.random.PRNGKey(seed), params))
             np.testing.assert_array_equal(got, want)
+
+
+def test_generate_sampling_knobs_share_compiled_program():
+    """temperature / top_p / repetition_penalty changes must NOT recompile
+    the generation program (the jit sees gen_cfg.canonical(); the values
+    ride as data) — remote TPU compiles cost minutes per program.  do_sample
+    and top_k are structural (program shape) and may recompile."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime import generate as G
+
+    from tests.test_pallas_talker_step import _tiny_talker
+
+    cfg, params = _tiny_talker()
+    B, L = 2, 8
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.normal(0, 0.3, (B, L, cfg.hidden_size)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, L), jnp.int32)
+    trailing = jnp.asarray(rng.normal(0, 0.3, (B, 3, cfg.hidden_size)),
+                           jnp.bfloat16)
+    pad = jnp.zeros((1, 1, cfg.hidden_size), jnp.bfloat16)
+
+    def run(gen_cfg):
+        out = G.generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
+                                pad, jax.random.PRNGKey(0))
+        return np.asarray(out.codes)
+
+    base = G.GenerationConfig(
+        max_new_tokens=5,
+        sampling=SamplingParams(do_sample=True, temperature=0.9, top_k=16,
+                                top_p=0.95, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=True, temperature=0.9, top_k=8))
+    run(base)  # compile once
+    import jax._src.test_util as jtu
+
+    swept = [
+        dataclasses.replace(base, sampling=dataclasses.replace(
+            base.sampling, temperature=2.0)),
+        dataclasses.replace(base, sampling=dataclasses.replace(
+            base.sampling, top_p=0.7, repetition_penalty=1.3)),
+        dataclasses.replace(base, subtalker=dataclasses.replace(
+            base.subtalker, temperature=1.7)),
+    ]
+    with jtu.count_pjit_cpp_cache_miss() as count:
+        for g in swept:
+            run(g)
+    assert count() == 0, (
+        f"sampling knob sweep caused {count()} recompiles/cache misses")
