@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="engine decode slots (concurrent sequences)")
     p.add_argument("--prefill-bucket", type=int, default=128,
                    help="engine max prompt length (token positions)")
+    p.add_argument("--vocoder-device", type=int, default=None,
+                   help="jax.devices() index to dedicate to the vocoder "
+                        "(multi-device hosts: overlaps vocoding with talker "
+                        "ticks)")
     return p
 
 
@@ -448,9 +452,14 @@ def main(argv=None) -> None:
         try:
             from ..runtime.server import ThreadedTTSServer, TTSServer
 
+            import jax
+
+            voc_dev = (None if args.vocoder_device is None
+                       else jax.devices()[args.vocoder_device])
             engine = ThreadedTTSServer(TTSServer(
                 model, num_slots=args.num_slots,
-                prefill_bucket=args.prefill_bucket, overrides=overrides))
+                prefill_bucket=args.prefill_bucket, overrides=overrides,
+                vocoder_device=voc_dev))
             print(f"[qwen-tts-demo] engine serving: {args.num_slots} slots")
         except Exception as e:
             print(f"[qwen-tts-demo] engine unavailable ({e}); "

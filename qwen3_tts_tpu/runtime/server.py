@@ -123,6 +123,11 @@ class TTSServer:
     (the speech tokenizer must carry the 12 Hz vocoder).  All JAX work stays
     on the calling thread; wrap with `ThreadedTTSServer` for concurrent
     producers (HTTP handlers).
+
+    `vocoder_device`: optional `jax.Device` to dedicate to the vocoder
+    (packet egress + completion decode).  On a multi-device host this
+    overlaps vocoding with the talker ticks (independent per-device dispatch
+    queues) instead of taxing the serving chip; results are bit-identical.
     """
 
     def __init__(self, model, num_slots: int = 16,
@@ -137,6 +142,7 @@ class TTSServer:
                  overrides: Optional[Dict[str, Any]] = None,
                  metrics=None,
                  output_dtype: str = "float32",
+                 vocoder_device=None,
                  **engine_kwargs):
         tok = model.speech_tokenizer
         if tok is None or tok.dec_params is None:
@@ -148,6 +154,21 @@ class TTSServer:
             kw["max_new_tokens"] = max_new_tokens
         self.gen_cfg: GenerationConfig = model._generation_config(kw)
         self.dec_params = tok.dec_params
+        self._decode_tok = tok
+        # On a multi-device host, pin ALL vocoder programs (packet egress +
+        # completion decode) to a dedicated device: devices execute their
+        # async dispatch queues independently, so vocoding overlaps the
+        # talker ticks instead of competing for the serving chip
+        # (single-chip serving pays the vocoder as a tick-time tax; see
+        # ROADMAP "second-chip vocoder").  Weights are copied once at
+        # construction; per-packet code batches are tiny (N*Q*T int32).
+        self.vocoder_device = vocoder_device
+        if vocoder_device is not None:
+            import copy
+
+            self.dec_params = jax.device_put(tok.dec_params, vocoder_device)
+            self._decode_tok = copy.copy(tok)   # module-level jits: caches
+            self._decode_tok.dec_params = self.dec_params   # are shared
         self.dec_cfg = tok.config.decoder_config
         self.sample_rate = tok.get_output_sample_rate()
         self.up = int(self.dec_cfg.total_upsample)
@@ -371,9 +392,11 @@ class TTSServer:
                     rows = np.stack(st.history[lo:lo + c + k])   # (c+k, Q)
                     batch[i, :, :c + k] = rows.T
                 meta.append((st, c, k))
+            codes_dev = (jnp.asarray(batch) if self.vocoder_device is None
+                         else jax.device_put(batch, self.vocoder_device))
             with self.metrics.time("server.vocode_s"):
                 wav = np.asarray(_vocode_rows(
-                    self.dec_params, self.dec_cfg, jnp.asarray(batch),
+                    self.dec_params, self.dec_cfg, codes_dev,
                     pcm16=self.output_dtype == "int16"))
             if self.output_dtype == "float32":
                 wav = wav.astype(np.float32)   # host upcast (bf16 vocoders)
@@ -420,7 +443,7 @@ class TTSServer:
             codes_in += [np.zeros((1, self._Q), np.int64)
                          ] * (nb - len(codes_in))
             with self.metrics.time("server.decode_s"):
-                wavs, sr = self.model.speech_tokenizer.decode(
+                wavs, sr = self._decode_tok.decode(
                     [{"audio_codes": c} for c in codes_in],
                     output_dtype=self.output_dtype)
             for (st, codes, ref_len), wav in zip(decode_batch, wavs):

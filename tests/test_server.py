@@ -382,3 +382,39 @@ def test_sampling_overrides_kwarg_split():
 
     t, s = TTSServer._sampling_overrides(fake)
     assert t is None and s is None
+
+
+def test_server_vocoder_device_offload_matches(cv_model):
+    """vocoder_device pins every vocoder program (packet egress + completion
+    decode) to a dedicated device; audio must be bit-identical to the
+    single-device server and the model's own tokenizer must stay untouched."""
+    import jax
+
+    from qwen3_tts_tpu.runtime.server import AudioPacket, AudioResult
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+
+    def run(**kw):
+        srv = _server(cv_model, packet_frames=2, left_context=4, **kw)
+        srv.submit_custom_voice("s", text="offload the vocoder",
+                                speaker="vivian", stream=True)
+        srv.submit_custom_voice("n", text="and the completion decode",
+                                speaker="vivian")
+        events = srv.run_until_drained()
+        pkts = [e for e in events if isinstance(e, AudioPacket)]
+        res = [e for e in events if isinstance(e, AudioResult)][0]
+        return srv, np.concatenate([p.wav for p in pkts]), res.wav
+
+    base_srv, base_stream, base_wav = run()
+    dev = jax.devices()[1]
+    srv, stream, wav = run(vocoder_device=dev)
+    np.testing.assert_array_equal(stream, base_stream)
+    np.testing.assert_array_equal(wav, base_wav)
+    # decode params really live on the target device ...
+    leaf = jax.tree_util.tree_leaves(srv.dec_params)[0]
+    assert leaf.devices() == {dev}
+    # ... while the model's tokenizer (shared with other servers) does not
+    tok_leaf = jax.tree_util.tree_leaves(
+        cv_model.speech_tokenizer.dec_params)[0]
+    assert dev not in tok_leaf.devices()
