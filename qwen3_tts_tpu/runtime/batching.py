@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections import deque
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -540,6 +540,25 @@ def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
     return state, aux
 
 
+@lru_cache(maxsize=None)
+def _pad_request_fn(T: int, Tt_in: int, Lp: int, Tt: int, dtype):
+    """(1, T, H)/(1, T)/(1, Tt_in, H) request tensors -> bucket-padded
+    (Lp, H)/(Lp,)/(Tt, H) staging rows, on device (no host round-trip)."""
+
+    @jax.jit
+    def fn(embeds, mask, trailing):
+        e = jnp.zeros((Lp, embeds.shape[2]), dtype)
+        e = e.at[Lp - T:].set(embeds[0].astype(dtype))
+        m = jnp.zeros((Lp,), jnp.int32)
+        m = m.at[Lp - T:].set(mask[0].astype(jnp.int32))
+        tr = jnp.zeros((Tt, trailing.shape[2]), dtype)
+        tl = min(Tt_in, Tt)
+        tr = tr.at[:tl].set(trailing[0, :tl].astype(dtype))
+        return e, m, tr
+
+    return fn
+
+
 @dataclass
 class Request:
     request_id: int
@@ -636,7 +655,6 @@ class ContinuousBatchingEngine:
         # that refer to a PREVIOUS occupant of the row)
         self.staged_rows_busy: Dict[int, int] = {}
         self.max_live_t = 0   # host mirror of max device t (exact per chunk)
-        self._pad_cache: Dict[Tuple[int, int], Any] = {}
         self._zero_rows = None   # device-resident padding entry for N-buckets
         self._tts_pad_dev = None
         # chunk pipelining: launched chunks whose packed aux is still on
@@ -670,24 +688,11 @@ class ContinuousBatchingEngine:
 
     def _pad_fn(self, T: int, Tt_in: int):
         """Jitted per-(T, Tt_in) request padding — runs on device so request
-        tensors never round-trip through the host."""
-        fn = self._pad_cache.get((T, Tt_in))
-        if fn is None:
-            Lp, Tt, dtype = self.prefill_bucket, self.max_trailing, self.dtype
-
-            @jax.jit
-            def fn(embeds, mask, trailing):
-                e = jnp.zeros((Lp, embeds.shape[2]), dtype)
-                e = e.at[Lp - T:].set(embeds[0].astype(dtype))
-                m = jnp.zeros((Lp,), jnp.int32)
-                m = m.at[Lp - T:].set(mask[0].astype(jnp.int32))
-                tr = jnp.zeros((Tt, trailing.shape[2]), dtype)
-                tl = min(Tt_in, Tt)
-                tr = tr.at[:tl].set(trailing[0, :tl].astype(dtype))
-                return e, m, tr
-
-            self._pad_cache[(T, Tt_in)] = fn
-        return fn
+        tensors never round-trip through the host.  Module-level cache: a
+        per-instance jit would re-trace per engine (engines must share every
+        compiled program)."""
+        return _pad_request_fn(T, Tt_in, self.prefill_bucket,
+                               self.max_trailing, self.dtype)
 
     def submit(self, req: Request) -> None:
         self.metrics.count("engine.submits")

@@ -734,3 +734,54 @@ def test_engine_subtalker_submit_validation():
         num_slots=2, max_len=64, max_trailing=8, dtype=jnp.float32)
     with pytest.raises(ValueError, match="candidate width"):
         eng2.submit(req(1, SamplingParams(do_sample=True, top_k=32)))
+
+
+@requires_reference
+def test_engines_with_different_knobs_share_programs():
+    """Two engines differing only in default temperature/top_p/rep-penalty
+    must share every compiled program (the jits see gen_cfg.canonical(); the
+    knobs ride per slot as data) — knob sweeps must never pay the
+    minutes-long remote TPU compile twice."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import jax._src.test_util as jtu
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from tests.test_talker import _random_inputs
+
+    params, cfg, gen_cfg = _setup(M=6)
+    gen_cfg = dataclasses.replace(
+        gen_cfg,
+        sampling=SamplingParams(do_sample=True, temperature=0.8, top_k=16,
+                                top_p=0.9, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=True, temperature=0.7, top_k=8))
+    embeds, mask, trailing, pad = _random_inputs(33)
+
+    def drain(g):
+        eng = ContinuousBatchingEngine(params, cfg, g, num_slots=2,
+                                       max_len=64, max_trailing=8,
+                                       dtype=jnp.float32)
+        n = int(mask[0].sum())
+        eng.submit(Request(
+            request_id=0, inputs_embeds=jnp.asarray(embeds[:1, -n:]),
+            attn_mask=jnp.asarray(mask[:1, -n:]),
+            trailing=jnp.asarray(trailing[:1]),
+            trailing_len=trailing.shape[1], tts_pad=jnp.asarray(pad),
+            max_frames=g.max_new_tokens - 1))
+        return eng.run_until_drained()
+
+    drain(gen_cfg)  # compile
+    hot = dataclasses.replace(
+        gen_cfg,
+        sampling=dataclasses.replace(gen_cfg.sampling, temperature=1.9,
+                                     top_p=0.6, repetition_penalty=1.4),
+        subtalker=dataclasses.replace(gen_cfg.subtalker, temperature=1.3))
+    with jtu.count_pjit_cpp_cache_miss() as count:
+        out = drain(hot)
+    assert out and out[0].request_id == 0
+    assert count() == 0, (
+        f"default-knob change recompiled {count()} engine programs")
