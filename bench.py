@@ -150,6 +150,12 @@ def main():
     # BENCH_KV=int8 additionally quantizes the KV cache (wins at long
     # generations; see docs/DESIGN.md measurements)
     kv_quant = os.environ.get("BENCH_KV", "") in ("1", "int8")
+    # the fused whole-step talker megakernel (requires int8 weights + bf16
+    # KV) measured 0.89x/0.84x of the XLA step at S=256/1024, B=32
+    # (benchmarks/talker_step_ab.py) and is the public-API default on TPU
+    fused_step = os.environ.get(
+        "BENCH_FUSED_STEP",
+        "1" if (quant == "int8" and not kv_quant) else "0") == "1"
     gen_cfg = GenerationConfig(
         max_new_tokens=M,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
@@ -157,6 +163,7 @@ def main():
         subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9),
         fused_subtalker=fused,
         kv_quant=kv_quant,
+        fused_talker_step=fused_step,
     )
     dec_cfg = CodecV2DecoderConfig(num_quantizers=cfg.num_code_groups)
     dec_params = jax.jit(
@@ -212,8 +219,10 @@ def main():
 
     ticks = int(lengths.max())
     # generate_frames' while_loop attends the full preallocated buffer
+    # (rounded up to 128-slot kernel chunks on the fused-step path)
     roof = decode_roofline(
-        cfg, B, attend_len=L + M + 1,
+        cfg, B, attend_len=(-(-(L + M + 1) // 128) * 128 if fused_step
+                            else L + M + 1),
         tick_seconds=talker_wall / max(1, ticks),
         weight_bytes=1 if quant == "int8" else 2,
         kv_bytes=1 if kv_quant else 2,
@@ -264,7 +273,7 @@ def main():
     fp_cfg = GenerationConfig(
         max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
         subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-        kv_quant=kv_quant)
+        kv_quant=kv_quant, fused_talker_step=fused_step)
     session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
                                StreamingConfig())
     iters = int(os.environ.get("BENCH_FP_ITERS", "5"))

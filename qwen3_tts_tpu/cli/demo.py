@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-fused-subtalker", action="store_true",
                    help="keep the XLA sub-talker scan even with --quantize "
                         "int8 (debugging / numerics A-B)")
+    p.add_argument("--no-fused-talker-step", action="store_true",
+                   help="keep the XLA talker decode step even with "
+                        "--quantize int8 (debugging / numerics A-B)")
     p.add_argument("--ip", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--share", action="store_true")
@@ -95,6 +98,8 @@ def _gen_overrides(args) -> Dict[str, Any]:
         out["kv_quant"] = True
     if args.no_fused_subtalker:
         out["fused_subtalker"] = False
+    if args.no_fused_talker_step:
+        out["fused_talker_step"] = False
     return out
 
 

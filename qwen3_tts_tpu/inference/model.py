@@ -39,6 +39,12 @@ from .tokenizer import Qwen3TTSTokenizer
 MaybeList = Union[Any, List[Any]]
 
 
+def _default_backend_is_tpu() -> bool:
+    """Whether auto perf defaults may assume real TPU hardware (module-level
+    so tests can patch the probe without a TPU attached)."""
+    return jax.devices()[0].platform == "tpu"
+
+
 @dataclass
 class VoiceClonePromptItem:
     """One sample's voice-clone prompt (mirrors reference
@@ -297,11 +303,25 @@ class Qwen3TTSModel:
             raise ValueError(
                 "fused_subtalker=True does not support subtalker_top_p < 1 "
                 "(pass fused_subtalker=False or drop subtalker_top_p)")
-        fused_step = bool(kw.get("fused_talker_step", False))
+        kv_quant = bool(kw.get("kv_quant", False))
+        # the fused whole-step talker megakernel measured faster than the
+        # XLA path across B in {1, 32} and windows in {256, 1024} slots
+        # (benchmarks/talker_step_ab.py, v5e) so int8 loads default onto it;
+        # it needs a bf16 KV cache and only pays off on real TPUs (elsewhere
+        # Pallas runs in interpret mode)
+        fused_step = kw.get("fused_talker_step")
+        if fused_step is None:
+            fused_step = (self.quantized == "int8" and not kv_quant
+                          and _default_backend_is_tpu())
+        fused_step = bool(fused_step)
         if fused_step and self.quantized != "int8":
             raise ValueError(
                 "fused_talker_step=True requires int8 weights; load with "
                 "from_pretrained(..., quantize='int8')")
+        if fused_step and kv_quant:
+            raise ValueError(
+                "fused_talker_step=True requires a bf16 KV cache; drop "
+                "kv_quant=True (or pass fused_talker_step=False)")
         return GenerationConfig(
             max_new_tokens=int(kw["max_new_tokens"]),
             min_new_tokens=int(kw.get("min_new_tokens", 2)),
@@ -316,7 +336,7 @@ class Qwen3TTSModel:
                 temperature=float(kw["subtalker_temperature"]),
                 repetition_penalty=1.0),
             fused_subtalker=fused,
-            kv_quant=bool(kw.get("kv_quant", False)),
+            kv_quant=kv_quant,
             fused_talker_step=fused_step,
         )
 

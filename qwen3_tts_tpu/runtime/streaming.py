@@ -128,6 +128,8 @@ class StreamingSession:
         M = gen_cfg.max_new_tokens
         max_frames = M - 1
         S = T + M + 1
+        if gen_cfg.fused_talker_step:
+            S = -(-S // 128) * 128   # kernel KV chunks are 128 slots
         up = self.vocoder_cfg.total_upsample
         ctx_max = self.stream_cfg.vocoder_left_context
         Q = cfg.num_code_groups

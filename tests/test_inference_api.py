@@ -223,7 +223,7 @@ def test_stream_voice_design(tmp_path):
     assert all(np.isfinite(c[0]).all() for c in chunks)
 
 
-def test_fast_path_defaults_and_overrides(tiny_checkpoint):
+def test_fast_path_defaults_and_overrides(tiny_checkpoint, monkeypatch):
     """int8 loads must route the public API onto the fused sub-talker path
     by default (the configuration bench.py measures), with generate-kwarg
     overrides for fused_subtalker / kv_quant (VERDICT r2 item 1)."""
@@ -258,8 +258,9 @@ def test_fast_path_defaults_and_overrides(tiny_checkpoint):
         full._generation_config(full._merge_generate_kwargs(
             fused_subtalker=True))
 
-    # fused_talker_step rides the generate kwargs the same way (off by
-    # default; int8-only)
+    # fused_talker_step rides the generate kwargs the same way; its auto
+    # default is ON for int8 + bf16-KV loads, but only on real TPU hardware
+    # (interpret-mode Pallas elsewhere), so off in this CPU-backed test
     gc = quant._generation_config(quant._merge_generate_kwargs())
     assert not gc.fused_talker_step
     gc = quant._generation_config(quant._merge_generate_kwargs(
@@ -269,21 +270,42 @@ def test_fast_path_defaults_and_overrides(tiny_checkpoint):
         full._generation_config(full._merge_generate_kwargs(
             fused_talker_step=True))
 
+    # on a TPU backend the int8 default flips on — unless the user asked
+    # for an int8 KV cache (the kernel needs bf16 KV) or opted out
+    import qwen3_tts_tpu.inference.model as model_mod
+    monkeypatch.setattr(model_mod, "_default_backend_is_tpu", lambda: True)
+    gc = quant._generation_config(quant._merge_generate_kwargs())
+    assert gc.fused_talker_step
+    gc = quant._generation_config(quant._merge_generate_kwargs(
+        kv_quant=True))
+    assert not gc.fused_talker_step and gc.kv_quant
+    gc = quant._generation_config(quant._merge_generate_kwargs(
+        fused_talker_step=False))
+    assert not gc.fused_talker_step
+    gc = full._generation_config(full._merge_generate_kwargs())
+    assert not gc.fused_talker_step   # bf16 weights: XLA path
+    with pytest.raises(ValueError, match="bf16 KV"):
+        quant._generation_config(quant._merge_generate_kwargs(
+            fused_talker_step=True, kv_quant=True))
+
 
 def test_demo_cli_fast_path_flags():
     """--quantize/--kv-quant/--no-fused-subtalker reach the generate kwargs."""
     from qwen3_tts_tpu.cli.demo import _gen_overrides, build_parser
 
     args = build_parser().parse_args(
-        ["ckpt", "--quantize", "int8", "--kv-quant", "--no-fused-subtalker"])
+        ["ckpt", "--quantize", "int8", "--kv-quant", "--no-fused-subtalker",
+         "--no-fused-talker-step"])
     assert args.quantize == "int8"
     ov = _gen_overrides(args)
     assert ov["kv_quant"] is True and ov["fused_subtalker"] is False
+    assert ov["fused_talker_step"] is False
 
     args = build_parser().parse_args(["ckpt"])
     assert args.quantize is None
     ov = _gen_overrides(args)
     assert "kv_quant" not in ov and "fused_subtalker" not in ov
+    assert "fused_talker_step" not in ov
 
 
 def test_tokenizer_decode_pcm16(tiny_checkpoint):

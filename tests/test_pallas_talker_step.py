@@ -198,3 +198,52 @@ def test_unchunkable_window_raises():
         talker_step_fused_cache(params, cfg, embed, position, ci, kv_valid,
                                 transpose_cache_in(k), transpose_cache_in(v),
                                 attend_len=200, interpret=True)
+
+
+def test_streaming_session_fused_step_rounds_kv_buffer():
+    """StreamingSession must round its KV buffer up to the kernel's 128-slot
+    chunks when fused_talker_step is on.  Regression: with T + M + 1 not a
+    multiple of 128 (and > one kernel chunk), the tail attend bucket equaled
+    the unrounded buffer and talker_step_fused_cache rejected it; a prefill
+    of 400 tokens puts the very first chunk in that regime."""
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.config import CodecV2DecoderConfig
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.generate import GenerationConfig
+    from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
+                                                 StreamingSession)
+    from qwen3_tts_tpu.utils.testing import random_vocoder_params
+
+    cfg, params = _tiny_talker()
+    dec_cfg = CodecV2DecoderConfig(
+        codebook_size=64, codebook_dim=16, hidden_size=32, latent_dim=16,
+        num_attention_heads=2, num_key_value_heads=2, sliding_window=8,
+        intermediate_size=48, num_hidden_layers=1,
+        num_quantizers=cfg.num_code_groups, upsample_rates=(2, 2),
+        upsampling_ratios=(1, 1), decoder_dim=16)
+    dec_params = random_vocoder_params(dec_cfg, jax.random.PRNGKey(3))
+
+    B, T, M = 2, 400, 5
+    rng = np.random.default_rng(9)
+    embeds = jnp.asarray(rng.normal(0, 0.3, (B, T, cfg.hidden_size)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, T), jnp.int32)
+    trailing = jnp.asarray(rng.normal(0, 0.3, (B, 3, cfg.hidden_size)),
+                           jnp.bfloat16)
+    pad = jnp.zeros((1, 1, cfg.hidden_size), jnp.bfloat16)
+    gen_cfg = GenerationConfig(
+        max_new_tokens=M,
+        sampling=SamplingParams(do_sample=False),
+        subtalker=SamplingParams(do_sample=False),
+        fused_talker_step=True)
+    session = StreamingSession(params, cfg, gen_cfg, dec_params, dec_cfg,
+                               StreamingConfig(warmup_schedule=(2,),
+                                               steady_chunk=2,
+                                               vocoder_left_context=2))
+    packets = list(session.run(embeds, mask, trailing, pad,
+                               jax.random.PRNGKey(4)))
+    assert packets, "fused streaming session produced no packets"
+    for pkt in packets:
+        assert np.isfinite(pkt.wav).all()

@@ -418,3 +418,26 @@ def test_server_vocoder_device_offload_matches(cv_model):
     tok_leaf = jax.tree_util.tree_leaves(
         cv_model.speech_tokenizer.dec_params)[0]
     assert dev not in tok_leaf.devices()
+
+
+def test_server_normalizes_fused_talker_step_off(tmp_path, monkeypatch):
+    """The engine runs its own serve step; a model whose int8-on-TPU auto
+    default enables fused_talker_step must not leak the flag into the
+    engine's static gen_cfg (it would fragment the shared program cache)."""
+    import jax.numpy as jnp
+
+    import qwen3_tts_tpu.inference.model as model_mod
+    from qwen3_tts_tpu import Qwen3TTSModel
+    from tests._fixtures import make_tiny_checkpoint
+    from tests.test_inference_api import FakeTokenizer
+
+    monkeypatch.setattr(model_mod, "_default_backend_is_tpu", lambda: True)
+    ckpt = make_tiny_checkpoint(tmp_path)
+    quant = Qwen3TTSModel.from_pretrained(ckpt, dtype=jnp.float32,
+                                          quantize="int8")
+    quant.processor = FakeTokenizer()
+    # the auto default would enable the kernel on this model's generate path
+    assert quant._generation_config(
+        quant._merge_generate_kwargs()).fused_talker_step
+    srv = _server(quant)
+    assert srv.gen_cfg.fused_talker_step is False
