@@ -152,10 +152,14 @@ def main():
     kv_quant = os.environ.get("BENCH_KV", "") in ("1", "int8")
     # the fused whole-step talker megakernel (requires int8 weights + bf16
     # KV) measured 0.89x/0.84x of the XLA step at S=256/1024, B=32
-    # (benchmarks/talker_step_ab.py) and is the public-API default on TPU
+    # (benchmarks/talker_step_ab.py) and is the public-API default on TPU.
+    # Gate the auto-default on the backend platform like _generation_config:
+    # off-TPU the kernel would run in Pallas interpret mode and produce
+    # misleadingly slow numbers.
+    _on_tpu = jax.devices()[0].platform == "tpu"
     fused_step = os.environ.get(
         "BENCH_FUSED_STEP",
-        "1" if (quant == "int8" and not kv_quant) else "0") == "1"
+        "1" if (quant == "int8" and not kv_quant and _on_tpu) else "0") == "1"
     gen_cfg = GenerationConfig(
         max_new_tokens=M,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
