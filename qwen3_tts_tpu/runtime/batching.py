@@ -488,7 +488,8 @@ def unpack_chunk_aux(aux: np.ndarray, num_slots: int, ticks: int, Q: int,
                      staging_rows: int):
     """Inverse of serve_chunk's packed aux: -> (frames (B,ticks,Q),
     emit (B,ticks), req_id (B,ticks), finished (B,ticks), staged_valid (K,),
-    staged_rid (K,), t (B,))."""
+    staged_rid (K,), t (B,)).  `ticks` is the program's max_ticks — tick
+    columns past the chunk's dynamic n_ticks are all-zero (emit False)."""
     B, K = num_slots, staging_rows
     n_bt = B * ticks
     off = 0
@@ -502,42 +503,72 @@ def unpack_chunk_aux(aux: np.ndarray, num_slots: int, ticks: int, Q: int,
     return frames, emit, req_id, finished, staged_valid, staged_rid, t
 
 
-@decode_jit(static_argnames=("cfg", "gen_cfg", "attend_len", "ticks",
-                            "installs_per_tick"), donate_argnums=(2,))
-def serve_chunk(params: Params, cfg: TalkerConfig, state: SlotState,
-                gen_cfg: GenerationConfig, key: jax.Array, ticks: int,
-                attend_len: Optional[int] = None,
-                installs_per_tick: int = 1
-                ) -> Tuple[SlotState, jax.Array]:
-    """Advance every slot `ticks` frames in one device program (the host
-    syncs once per chunk instead of once per frame); staged requests are
-    installed into freed slots at tick granularity, so a finishing sequence's
-    slot is re-used within the same chunk.
+def _serve_chunk_impl(params: Params, cfg: TalkerConfig, state: SlotState,
+                      gen_cfg: GenerationConfig, key: jax.Array,
+                      n_ticks: jax.Array, max_ticks: int,
+                      attend_len: Optional[int] = None,
+                      installs_per_tick: int = 1
+                      ) -> Tuple[SlotState, jax.Array]:
+    """Advance every slot up to `max_ticks` frames in one device program,
+    executing only `n_ticks` of them (a DYNAMIC trip count: chunk length is
+    runtime data, so the latency cap / cold-start ramp / drain tail all
+    reuse ONE compiled program per attend bucket instead of one per
+    (ticks, attend) pair — compiled-program loads cost ~10s+ on
+    remote-compile backends and were the late-joiner latency tail).
+
+    Staged requests are installed into freed slots at tick granularity, so
+    a finishing sequence's slot is re-used within the same chunk.
 
     Returns (state, aux) where aux is ONE flat int32 array packing
-    (frames, emit, req_id, finished, staged_valid, staged_rid, t) — a
-    single
-    device-to-host transfer per chunk (round trips dominate host cost on
-    remote-tunnel backends); decode with `unpack_chunk_aux`."""
-    keys = jax.random.split(key, ticks)
+    (frames, emit, req_id, finished, staged_valid, staged_rid, t) for all
+    max_ticks tick columns (unexecuted ticks are zero / emit False) — a
+    single device-to-host transfer per chunk (round trips dominate host
+    cost on remote-tunnel backends); decode with `unpack_chunk_aux`."""
+    B = state.code0.shape[0]
+    Q = cfg.num_code_groups
+    bufs = (jnp.zeros((max_ticks, B, Q), jnp.int32),
+            jnp.zeros((max_ticks, B), jnp.int32),
+            jnp.zeros((max_ticks, B), jnp.int32),
+            jnp.zeros((max_ticks, B), jnp.int32))
 
-    def body(state, k):
+    def cond(carry):
+        i = carry[0]
+        return i < jnp.minimum(n_ticks, max_ticks)
+
+    def body(carry):
+        i, state, (fb, eb, rb, db) = carry
+        k = jax.random.fold_in(key, i)
         state, frames, emit, req_id, finished = _serve_step_core(
             params, cfg, state, gen_cfg, k, attend_len, installs_per_tick)
-        return state, (frames, emit, req_id, finished)
+        fb = jax.lax.dynamic_update_slice(
+            fb, frames.astype(jnp.int32)[None], (i, 0, 0))
+        eb = jax.lax.dynamic_update_slice(
+            eb, emit.astype(jnp.int32)[None], (i, 0))
+        rb = jax.lax.dynamic_update_slice(
+            rb, req_id.astype(jnp.int32)[None], (i, 0))
+        db = jax.lax.dynamic_update_slice(
+            db, finished.astype(jnp.int32)[None], (i, 0))
+        return i + 1, state, (fb, eb, rb, db)
 
-    state, (frames, emit, req_id, finished) = jax.lax.scan(body, state, keys)
+    _, state, (frames, emit, req_id, finished) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, bufs))
     swap = lambda x: jnp.swapaxes(x, 0, 1)  # (ticks, B, ...) -> (B, ticks, ...)
     aux = jnp.concatenate([
-        swap(frames).reshape(-1).astype(jnp.int32),
-        swap(emit).reshape(-1).astype(jnp.int32),
-        swap(req_id).reshape(-1).astype(jnp.int32),
-        swap(finished).reshape(-1).astype(jnp.int32),
+        swap(frames).reshape(-1),
+        swap(emit).reshape(-1),
+        swap(req_id).reshape(-1),
+        swap(finished).reshape(-1),
         state.staged_valid.astype(jnp.int32),
         state.staged_req_id.astype(jnp.int32),
         state.t.astype(jnp.int32),
     ])
     return state, aux
+
+
+serve_chunk = decode_jit(
+    static_argnames=("cfg", "gen_cfg", "max_ticks", "attend_len",
+                     "installs_per_tick"),
+    donate_argnums=(2,))(_serve_chunk_impl)
 
 
 @lru_cache(maxsize=None)
@@ -629,6 +660,7 @@ class ContinuousBatchingEngine:
                                      dtype, prefill_bucket=self.prefill_bucket,
                                      kv_quant=gen_cfg.kv_quant,
                                      staging_rows=self.staging_rows)
+        self.mesh = mesh
         if mesh is not None:
             # one engine spanning chips: slots/staging sharded over "dp"
             # (pass params already placed via shard_talker_params)
@@ -638,6 +670,17 @@ class ContinuousBatchingEngine:
         self.key = jax.random.PRNGKey(seed)
         self.ticks_per_sync = ticks_per_sync
         self.installs_per_tick = installs_per_tick
+        # serve-chunk programs are AOT-compiled (jit.lower().compile()) into
+        # this cache, keyed by attend bucket (chunk length is dynamic data,
+        # so the bucket is the ONLY shape axis).  AOT absorbs the whole
+        # compile+executable-load cost (~10s+/program on remote-compile
+        # backends) at warmup / in a background thread instead of stalling a
+        # live tick when a stream's attend window rolls into a new bucket.
+        # Sharded engines keep the plain jit path (their inputs carry
+        # shardings the abstract lowering here doesn't describe).
+        self._chunk_exe: Dict[int, Any] = {}
+        self._exe_building: set = set()
+        self._exe_lock = None   # created lazily (threading import)
         # cold-start chunk ramp: after an idle period the first chunks are
         # short (pow2 values reuse the tail-bucket compiled shapes), so a
         # fresh request's first frames reach the host in a few ticks instead
@@ -848,17 +891,18 @@ class ContinuousBatchingEngine:
 
     def _next_ticks(self) -> int:
         """Chunk length: full `ticks_per_sync` under queue pressure (after
-        the cold-start ramp); once the queue is drained, a pow2 bucket just
-        covering the longest remaining request, so the tail doesn't burn
+        the cold-start ramp); once the queue is drained, just enough ticks
+        to cover the longest remaining request, so the tail doesn't burn
         empty ticks.  `tick_cap` (settable between steps, e.g. by TTSServer
         while a streaming request awaits its first packet) bounds the next
-        chunk so fresh frames reach the host sooner; it is rounded down to
-        a pow2 to reuse the warm ramp/tail chunk shapes."""
+        chunk so fresh frames reach the host sooner.  Chunk length is
+        DYNAMIC data to the compiled program (serve_chunk n_ticks), so any
+        value here reuses the same executable."""
         ticks = self.ticks_per_sync
         if self._ramp_i < len(self.chunk_ramp):
             ticks = min(ticks, self.chunk_ramp[self._ramp_i])
         if self.tick_cap is not None and self.tick_cap > 0:
-            ticks = min(ticks, 1 << (int(self.tick_cap).bit_length() - 1))
+            ticks = min(ticks, int(self.tick_cap))
         if self.pending:
             return ticks
         remaining = 0
@@ -866,9 +910,125 @@ class ContinuousBatchingEngine:
             remaining = max(remaining,
                             self.req_max_frames.get(rid, ticks) - len(acc))
         need = remaining + 2   # + finish tick + install slack
-        if need >= ticks:
-            return ticks
-        return 1 << max(0, (need - 1)).bit_length()
+        return min(ticks, max(1, need))
+
+    # -- serve-chunk program cache (AOT) ---------------------------------
+
+    def _attend_buckets(self):
+        """Every attend bucket a live engine can request (ATTEND_BUCKET
+        multiples clamped to the KV capacity)."""
+        S = self.state.cache.k.shape[2]
+        out = []
+        a = ATTEND_BUCKET
+        while a < S:
+            out.append(a)
+            a += ATTEND_BUCKET
+        out.append(S)
+        return out
+
+    def _compile_chunk_exe(self, attend: int):
+        """AOT-compile the serve-chunk executable for one attend bucket
+        (abstract inputs — no dummy state allocation, no device execution;
+        the compile+load cost lands here, not on a live tick)."""
+        from .jit_options import decode_compiler_options
+
+        def absify(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(jnp.shape(x),
+                                               jnp.asarray(x).dtype), tree)
+
+        jfn = jax.jit(
+            _serve_chunk_impl,
+            static_argnames=("cfg", "gen_cfg", "max_ticks", "attend_len",
+                             "installs_per_tick"),
+            donate_argnums=(2,),
+            compiler_options=decode_compiler_options())
+        lowered = jfn.lower(
+            absify(self.params), self.cfg, absify(self.state),
+            self._gen_cfg_exec, absify(self.key),
+            jax.ShapeDtypeStruct((), jnp.int32), self.ticks_per_sync,
+            attend_len=attend, installs_per_tick=self.installs_per_tick)
+        return lowered.compile()
+
+    def _get_chunk_exe(self, attend: int):
+        exe = self._chunk_exe.get(attend)
+        if exe is None:
+            with self.metrics.time("engine.chunk_compile_s"):
+                exe = self._compile_chunk_exe(attend)
+            self._chunk_exe[attend] = exe
+        return exe
+
+    def warmup_serve(self, verbose: bool = False) -> float:
+        """Synchronously compile the serve-chunk executable for EVERY attend
+        bucket (one program per bucket — chunk length is dynamic).  Call at
+        server startup so live traffic never hits a compile stall when a
+        long stream rolls the attend window into a new bucket (measured
+        multi-second first-use loads on remote-compile backends).  Returns
+        seconds spent."""
+        import time as _time
+
+        t0 = _time.time()
+        for a in self._attend_buckets():
+            if a not in self._chunk_exe:
+                self._chunk_exe[a] = self._compile_chunk_exe(a)
+                if verbose:
+                    print(f"[engine.warmup] attend={a} "
+                          f"compiled at {_time.time() - t0:.1f}s", flush=True)
+        return _time.time() - t0
+
+    def warmup_staging(self, buckets=(1, 2, 4, 8, 16)) -> None:
+        """Compile the staging-prefill program for each request-count bucket
+        by running it with ALL-INVALID meta rows (row_valid=0 merges
+        nothing, so state is untouched — the program is the real one)."""
+        if self._tts_pad_dev is None:
+            self._tts_pad_dev = jnp.zeros((1, 1, self.cfg.hidden_size),
+                                          self.dtype)
+        if self._zero_rows is None:
+            Lp, H, Tt = (self.prefill_bucket, self.cfg.hidden_size,
+                         self.max_trailing)
+            self._zero_rows = (jnp.zeros((Lp, H), self.dtype),
+                               jnp.zeros((Lp,), jnp.int32),
+                               jnp.zeros((Tt, H), self.dtype))
+        for nb in buckets:
+            if nb > self.staging_rows:
+                continue
+            meta = np.zeros((nb, 5), np.int32)
+            meta[:, 0] = -1
+            rows = np.zeros((nb, 5), np.float32)
+            self.key, sub = jax.random.split(self.key)
+            e, m, tr = self._zero_rows
+            self.state = stage_requests(
+                self.params, self.cfg, self.state, self._gen_cfg_exec,
+                (e,) * nb, (m,) * nb, (tr,) * nb, jnp.asarray(meta),
+                self._tts_pad_dev, sub, jnp.asarray(rows), jnp.asarray(rows))
+        jax.block_until_ready(self.state.staged_valid)
+
+    def _prewarm_next_bucket(self, attend: int, max_idx: int,
+                             ticks: int) -> None:
+        """Background safety net: when the live window approaches the next
+        attend bucket, compile its executable on a worker thread so the
+        rollover tick finds it ready (warmup_serve makes this a no-op)."""
+        S = self.state.cache.k.shape[2]
+        nxt = min(S, attend + ATTEND_BUCKET)
+        if (nxt <= attend or nxt in self._chunk_exe
+                or nxt in self._exe_building):
+            return
+        if max_idx + ticks + 1 < attend - ATTEND_BUCKET // 2:
+            return   # not close yet
+        import threading
+
+        if self._exe_lock is None:
+            self._exe_lock = threading.Lock()
+
+        def build():
+            try:
+                exe = self._compile_chunk_exe(nxt)
+                self._chunk_exe[nxt] = exe
+            finally:
+                self._exe_building.discard(nxt)
+
+        self._exe_building.add(nxt)
+        threading.Thread(target=build, daemon=True).start()
 
     def _launch_chunk(self) -> None:
         """Dispatch one serve_chunk; its packed aux stays ON DEVICE (appended
@@ -883,10 +1043,16 @@ class ContinuousBatchingEngine:
                    + self._ticks_in_flight)
         attend = min(S, ((max_idx + ticks + 1 + ATTEND_BUCKET - 1)
                          // ATTEND_BUCKET) * ATTEND_BUCKET)
-        self.state, aux = serve_chunk(
-            self.params, self.cfg, self.state, self._gen_cfg_exec, sub,
-            ticks,
-            attend_len=attend, installs_per_tick=self.installs_per_tick)
+        if self.mesh is None:
+            exe = self._get_chunk_exe(attend)
+            self._prewarm_next_bucket(attend, max_idx, ticks)
+            self.state, aux = exe(self.params, self.state, sub,
+                                  jnp.int32(ticks))
+        else:
+            self.state, aux = serve_chunk(
+                self.params, self.cfg, self.state, self._gen_cfg_exec, sub,
+                jnp.int32(ticks), self.ticks_per_sync,
+                attend_len=attend, installs_per_tick=self.installs_per_tick)
         self._ramp_i = min(self._ramp_i + 1, len(self.chunk_ramp))
         self._chunks_launched += 1
         self._unprocessed.append((aux, ticks))
@@ -906,7 +1072,7 @@ class ContinuousBatchingEngine:
             aux_np = np.asarray(aux)
         (frames, emit, req_id, finished, staged_valid, staged_rid,
          t_dev) = unpack_chunk_aux(
-            aux_np, self.num_slots, ticks,
+            aux_np, self.num_slots, self.ticks_per_sync,
             self.cfg.num_code_groups, self.state.staged_valid.shape[0])
         completions: List[Completion] = []
         sink_frames: Dict[int, List[np.ndarray]] = {}

@@ -104,16 +104,28 @@ def _bucket_request(prompt, trailing, bucket: int = 16):
     return p, jnp.asarray(mask), t
 
 
-@partial(jax.jit, static_argnames=("cfg", "pcm16"))
-def _vocode_rows(dec_params, cfg, codes, pcm16=False):
-    """codes (N, Q, T) int32 -> (N, T*up) float32 or device-converted int16
-    (full rows; callers slice per-row [c_i*up, (c_i+k_i)*up))."""
+@partial(jax.jit, static_argnames=("cfg", "F", "pcm16"))
+def _vocode_rows_compact(dec_params, cfg, codes, ctx, F: int, pcm16=False):
+    """codes (N, Q, C+F) int32; ctx (N,) int32 = context frames per row.
+
+    Vocode the whole batch, then gather each row's EMITTED span
+    [c_i*up, (c_i+F)*up) on device so only (N, F*up) samples cross the
+    device->host link — shipping the full (N, (C+F)*up) wave (context and
+    all) was 120-600 ms of tunnel transfer per packet wave and dominated
+    multi-tenant first-packet latency.  Rows are shifted so the first new
+    frame lands at sample 0; callers cut [0, k_i*up)."""
     wav = vocoder_decode(dec_params, cfg, jnp.clip(codes, 0, None))[:, 0, :]
+    up = wav.shape[-1] // codes.shape[-1]
+
+    def cut(row, c):
+        return jax.lax.dynamic_slice_in_dim(row, c * up, F * up)
+
+    out = jax.vmap(cut)(wav, ctx)
     if pcm16:
         from ..models.codec12.decoder import to_pcm16
 
-        wav = to_pcm16(wav)
-    return wav
+        out = to_pcm16(out)
+    return out
 
 
 class TTSServer:
@@ -181,12 +193,13 @@ class TTSServer:
         self.packet_frames = int(packet_frames)
         self.left_context = int(left_context)
         # while any streaming request awaits its FIRST packet, cap engine
-        # chunks at this many ticks (pow2) so those frames reach the host in
+        # chunks at this many ticks so those frames reach the host in
         # ~first_packet_ticks tick-times instead of a full ticks_per_sync
         # chunk — the dual-track latency story under multi-tenant load.
-        # 0 disables (pure-throughput serving); non-streaming requests never
-        # engage the cap.  Default 4 from a same-window TPU A/B at 16 slots /
-        # ticks_per_sync=25 (late-joiner p50: cap0 331 ms, cap8 315, cap4 305).
+        # Chunk length is dynamic data to the compiled serve program, so any
+        # cap value reuses the warm executables.  0 disables
+        # (pure-throughput serving); non-streaming requests never engage
+        # the cap.
         self.first_packet_ticks = int(first_packet_ticks)
         self.num_slots = num_slots
         if output_dtype not in ("float32", "int16"):
@@ -207,6 +220,44 @@ class TTSServer:
         self._by_user_id: Dict[Any, int] = {}
         self._next_rid = 0
         self._Q = model.config.talker_config.num_code_groups
+
+    def warmup(self, verbose: bool = False) -> float:
+        """Precompile the serving-critical program set: every serve-chunk
+        attend bucket (engine AOT cache), the staging-prefill request-count
+        buckets, and every packet-egress vocoder shape.  One-time startup
+        cost; without it, live traffic pays multi-second program loads the
+        first time each shape is hit (the late-joiner latency tail).
+        Returns seconds spent."""
+        import time as _time
+
+        t0 = _time.time()
+        self.engine.warmup_serve(verbose=verbose)
+        self.engine.warmup_staging()
+        n, combos = 1, []
+        while n < self.num_slots:
+            combos.append(n)
+            n <<= 1
+        combos.append(self.num_slots)
+        fset = sorted({self._frame_bucket(1),
+                       self._frame_bucket(self.packet_frames)})
+        for N in sorted(set(combos)):
+            for F in fset:
+                T = self.left_context + F
+                codes = (jnp.zeros((N, self._Q, T), jnp.int32)
+                         if self.vocoder_device is None else
+                         jax.device_put(np.zeros((N, self._Q, T), np.int32),
+                                        self.vocoder_device))
+                ctx = (jnp.zeros((N,), jnp.int32)
+                       if self.vocoder_device is None else
+                       jax.device_put(np.zeros((N,), np.int32),
+                                      self.vocoder_device))
+                jax.block_until_ready(_vocode_rows_compact(
+                    self.dec_params, self.dec_cfg, codes, ctx, F=F,
+                    pcm16=self.output_dtype == "int16"))
+                if verbose:
+                    print(f"[server.warmup] vocode N={N} F={F} done at "
+                          f"{_time.time() - t0:.1f}s", flush=True)
+        return _time.time() - t0
 
     # -- submission ------------------------------------------------------
 
@@ -379,30 +430,57 @@ class TTSServer:
             return False
         return p >= self.packet_frames or not st.first_sent
 
+    def _row_bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b <<= 1
+        return min(b, self.num_slots)
+
+    def _frame_bucket(self, kmax: int) -> int:
+        small = min(4, self.packet_frames)
+        return small if kmax <= small else self.packet_frames
+
     def _emit_packets(self) -> List[AudioPacket]:
-        """Vocode every due request as one fixed-shape batched program."""
+        """Vocode every due request as one fixed-shape batched program.
+
+        Shapes are bucketed on BOTH axes — rows to a pow2 (≤ num_slots) and
+        new frames to {4, packet_frames} — so a lone first packet runs a
+        tiny (1, Q, ctx+4) program and ships ~15 KB instead of riding the
+        full (num_slots, Q, ctx+packet) wave; `warmup()` precompiles the
+        whole bucket set."""
         out: List[AudioPacket] = []
         while True:
             due = [st for st in self._states.values() if self._due(st)]
             if not due:
                 return out
             due = due[:self.num_slots]
-            T = self.left_context + self.packet_frames
-            batch = np.zeros((self.num_slots, self._Q, T), np.int32)
+            N = self._row_bucket(len(due))
+            due = due[:N]
             meta = []
-            for i, st in enumerate(due):
+            kmax = 1
+            for st in due:
                 c = min(self.left_context, st.ctx0 + st.emitted)
                 k = min(self._pending(st), self.packet_frames)
+                kmax = max(kmax, k)
+                meta.append((st, c, k))
+            F = self._frame_bucket(kmax)
+            T = self.left_context + F
+            batch = np.zeros((N, self._Q, T), np.int32)
+            ctx = np.zeros((N,), np.int32)
+            for i, (st, c, k) in enumerate(meta):
                 lo = st.ctx0 + st.emitted - c
                 if c + k > 0:
                     rows = np.stack(st.history[lo:lo + c + k])   # (c+k, Q)
                     batch[i, :, :c + k] = rows.T
-                meta.append((st, c, k))
-            codes_dev = (jnp.asarray(batch) if self.vocoder_device is None
-                         else jax.device_put(batch, self.vocoder_device))
+                ctx[i] = c
+            dev = self.vocoder_device
+            codes_dev = (jnp.asarray(batch) if dev is None
+                         else jax.device_put(batch, dev))
+            ctx_dev = (jnp.asarray(ctx) if dev is None
+                       else jax.device_put(ctx, dev))
             with self.metrics.time("server.vocode_s"):
-                wav = np.asarray(_vocode_rows(
-                    self.dec_params, self.dec_cfg, codes_dev,
+                wav = np.asarray(_vocode_rows_compact(
+                    self.dec_params, self.dec_cfg, codes_dev, ctx_dev, F=F,
                     pcm16=self.output_dtype == "int16"))
             if self.output_dtype == "float32":
                 wav = wav.astype(np.float32)   # host upcast (bf16 vocoders)
@@ -410,7 +488,7 @@ class TTSServer:
                 final = st.done and (self._pending(st) == k)
                 out.append(AudioPacket(
                     request_id=st.request_id,
-                    wav=wav[i, c * self.up:(c + k) * self.up],
+                    wav=wav[i, :k * self.up],
                     sample_rate=self.sample_rate,
                     frame_start=st.emitted, frame_count=k, final=final))
                 st.emitted += k
