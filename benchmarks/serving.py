@@ -45,12 +45,18 @@ def main():
 
         params = quantize_talker_params(params)
     fused = os.environ.get("BENCH_FUSED", "1" if quant == "int8" else "0") == "1"
+    # serve step through the whole-step talker megakernel (int8-only; the
+    # engine runs a fused-layout KV cache; A/B lever vs the XLA serve step)
+    fused_step = os.environ.get(
+        "BENCH_FUSED_STEP",
+        "1" if quant == "int8"
+        and jax.devices()[0].platform == "tpu" else "0") == "1"
     gen_cfg = GenerationConfig(
         max_new_tokens=frames_per_req + 1,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
                                 repetition_penalty=1.05),
         subtalker=SamplingParams(do_sample=True, top_k=50, temperature=0.9),
-        fused_subtalker=fused)
+        fused_subtalker=fused, fused_talker_step=fused_step)
 
     ticks = int(os.environ.get("BENCH_TICKS", "8"))
     engine = ContinuousBatchingEngine(params, cfg, gen_cfg, num_slots=slots,
@@ -93,6 +99,7 @@ def main():
         "slots": slots,
         "ticks_per_sync": ticks,
         "quant": quant or "bf16",
+        "fused_step": fused_step,
     }))
 
 

@@ -87,7 +87,7 @@ def run_xla(params, k, v, embed):
     return ls[-1], h
 
 
-def make_fused(impl):
+def make_fused(impl, kv_chunk=0, mlp_chunks=0):
     @jax.jit
     def run_fused(params, k, v, embed):
         kf, vf = transpose_cache_in(k), transpose_cache_in(v)
@@ -96,7 +96,8 @@ def make_fused(impl):
             kf, vf, h = carry
             logits, h, kf, vf = talker_step_fused_cache(
                 params, cfg, h, jnp.full((B,), ci, jnp.int32), ci, kv_valid,
-                kf, vf, attend_len=S, attn_impl=impl)
+                kf, vf, attend_len=S, attn_impl=impl,
+                kv_chunk=kv_chunk, mlp_chunks=mlp_chunks)
             return (kf, vf, h), logits[:, 0]
 
         (kf, vf, h), ls = jax.lax.scan(step, (kf, vf, embed), None, length=K)
@@ -106,14 +107,24 @@ def make_fused(impl):
 
 t_x = timeit("xla", run_xla, params, k0, v0, embed)
 results = {"xla": t_x}
-for impl in ("vpu", "mxu"):
+if os.environ.get("AB_SWEEP", "0") == "1":
+    # grid-step-count sweep: fewer, larger phases amortize per-grid-step
+    # overhead; larger blocks cost VMEM (Mosaic rejects over-budget combos)
+    kv_opts = [c for c in (128, 256, 512) if S % c == 0 or c == 128]
+    mlp_opts = (6, 4, 3, 2)
+    combos = [("mxu", kc, mc) for kc in kv_opts for mc in mlp_opts]
+else:
+    combos = [("vpu", 0, 0), ("mxu", 0, 0)]
+for impl, kc, mc in combos:
+    name = f"{impl}-kc{kc or 'd'}-mc{mc or 'd'}"
     try:
-        results[impl] = timeit(f"fused-{impl}", make_fused(impl),
+        results[name] = timeit(name, make_fused(impl, kc, mc),
                                params, k0, v0, embed)
     except Exception as e:  # noqa: BLE001 — Mosaic may reject an impl
-        print(f"fused-{impl} FAILED: {type(e).__name__}: {e}", flush=True)
+        print(f"{name} FAILED: {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
 best = min(results, key=results.get)
-for impl, t in sorted(results.items(), key=lambda kv: kv[1]):
-    print(f"{impl:10s} {t * 1e3:7.3f} ms/step  ({t / t_x:.3f}x xla)",
+for name, t in sorted(results.items(), key=lambda kv: kv[1]):
+    print(f"{name:16s} {t * 1e3:7.3f} ms/step  ({t / t_x:.3f}x xla)",
           flush=True)
 print(f"best: {best}", flush=True)

@@ -74,15 +74,21 @@ def _pick_mlp_chunks(inter: int) -> int:
     return 1
 
 
-def _pick_chunk(S: int, S_buf: int) -> Optional[Tuple[int, int]]:
+def _pick_chunk(S: int, S_buf: int,
+                kv_chunk: int = 0) -> Optional[Tuple[int, int]]:
     """(Sc, nS) covering an attended window of S slots, or None if the
     window cannot be blocked (callers then route to the XLA path).
 
-    128-slot chunks are preferred: at B=32 a 256-slot chunk is 16.8 MB
+    128-slot chunks are the default: at B=32 a 256-slot chunk is 16.8 MB
     (x2 for k+v, x2 double-buffered) and its fp32 score/PV temporaries
     another 33 MB — past the 128 MB scoped-VMEM budget once layer weights
-    are resident.  The single whole-buffer chunk is only for small odd
+    are resident.  `kv_chunk` overrides the preferred chunk size (a
+    multiple of 128; the hardware sweep lever for the grid-step-count vs
+    VMEM trade — fewer, larger phases amortize Mosaic's per-grid-step
+    overhead).  The single whole-buffer chunk is only for small odd
     buffers (e.g. 129 slots) that 128 cannot tile."""
+    if kv_chunk and S % kv_chunk == 0:
+        return kv_chunk, S // kv_chunk
     if S % 128 == 0:
         return 128, S // 128
     if S == S_buf and S <= ONE_CHUNK_MAX:
@@ -94,12 +100,20 @@ def _kernel(x_ref, cos_ref, sin_ref, bias_ref,
             ln1_ref, ln2_ref, qn_ref, kn_ref, fn_ref,
             qkvs_ref, os_ref, gs_ref, us_ref, dns_ref,
             qkvq_ref, oq_ref, gug_ref, guu_ref, dnq_ref,
-            kc_ref, vc_ref,
-            h_out, newk_out, newv_out,
-            x_scr, xn2_scr, q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr, *,
+            kc_ref, vc_ref, *rest,
             B: int, H: int, heads: int, kv_heads: int, D: int,
             inter: int, C: int, Sc: int, nS: int, eps: float,
-            mxu_attn: bool):
+            mxu_attn: bool, quant_kv: bool = False):
+    # int8-KV mode threads two extra chunk refs (per-(slot, head) fp32
+    # scales); scores fold the K scale in after the dot, probabilities fold
+    # the V scale in before the PV dot — a dequantized chunk copy is never
+    # materialized beyond the int8->bf16 convert the MXU needs
+    if quant_kv:
+        (kcs_ref, vcs_ref, h_out, newk_out, newv_out,
+         x_scr, xn2_scr, q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr) = rest
+    else:
+        (h_out, newk_out, newv_out,
+         x_scr, xn2_scr, q_scr, k_scr, v_scr, m_scr, l_scr, acc_scr) = rest
     l = pl.program_id(0)
     p = pl.program_id(1)
     G = heads // kv_heads
@@ -147,12 +161,17 @@ def _kernel(x_ref, cos_ref, sin_ref, bias_ref,
             # PV become batched (G, D)x(D, Sc) / (G, Sc)x(Sc, D) MXU matmuls
             # instead of VPU mul+lane-reduce over the full chunk.  Scratch
             # layouts are (B*Hkv, G[, D]) in this mode.
-            kf = kc_ref[0].reshape(B * kv_heads, Sc, D)   # bf16
+            kf = kc_ref[0].reshape(B * kv_heads, Sc, D)   # bf16 / int8
             vf = vc_ref[0].reshape(B * kv_heads, Sc, D)
+            if quant_kv:
+                kf = kf.astype(jnp.bfloat16)
+                vf = vf.astype(jnp.bfloat16)
             qb = q_scr[:].reshape(B * kv_heads, G, D)     # bf16
             s = jax.lax.dot_general(
                 qb, kf, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)       # (BHkv, G, Sc)
+            if quant_kv:
+                s = s * kcs_ref[0].reshape(B * kv_heads, 1, Sc)
             bias = jnp.broadcast_to(
                 bias_ref[:].reshape(B, 1, 1, Sc),
                 (B, kv_heads, G, Sc)).reshape(B * kv_heads, G, Sc)
@@ -163,8 +182,14 @@ def _kernel(x_ref, cos_ref, sin_ref, bias_ref,
             e = jnp.exp(s - m_new[..., None]).astype(jnp.bfloat16)
             l_scr[:] = (l_scr[:] * corr
                         + jnp.sum(e.astype(jnp.float32), axis=-1))
+            if quant_kv:
+                ev = (e.astype(jnp.float32)
+                      * vcs_ref[0].reshape(B * kv_heads, 1, Sc)
+                      ).astype(jnp.bfloat16)
+            else:
+                ev = e
             pv = jax.lax.dot_general(
-                e, vf, (((2,), (1,)), ((0,), (0,))),
+                ev, vf, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32)       # (BHkv, G, D)
             acc_scr[:] = acc_scr[:] * corr[..., None] + pv
             m_scr[:] = m_new
@@ -266,19 +291,33 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
                             k_cache: jax.Array, v_cache: jax.Array,
                             attend_len: Optional[int] = None,
                             mlp_chunks: int = 0,
+                            kv_chunk: int = 0,
                             attn_impl: str = "mxu",
-                            interpret: bool = False
-                            ) -> Tuple[jax.Array, jax.Array,
-                                       jax.Array, jax.Array]:
+                            interpret: bool = False,
+                            k_scale: Optional[jax.Array] = None,
+                            v_scale: Optional[jax.Array] = None):
     """One fused decode step over a fused-layout cache.
 
     embed: (B, 1, H); position: (B,); kv_valid: (B, S) incl. the new slot;
     k_cache/v_cache: (L, B, Hkv, S_buf, D) bf16 (see transpose_cache_in).
+    cache_index: scalar (whole-batch write slot, the generate path) or (B,)
+    per-row write slots (the serving engine, where each slot's sequence is
+    at a different depth — the fresh K/V then scatters per row).
     attn_impl: "mxu" computes chunk scores/PV as (B*Hkv)-batched dot_generals
     on the MXU; "vpu" uses elementwise mul + lane reductions (A/B'd in
     benchmarks/talker_step_ab.py — mxu measured faster).
+
+    int8-KV mode: pass int8 k_cache/v_cache plus fp32 k_scale/v_scale of
+    fused layout (L, B, Hkv, S_buf) — per-(slot, head) symmetric scales,
+    exactly GenerationConfig.kv_quant's storage halved-DMA trade.  The K
+    scale folds into the score matrix and the V scale into the
+    probabilities (the same fold as ops/attention.attention_kv_quant); the
+    fresh slot attends in bf16 and is quantized on the way into the cache.
+    mxu attention only.
+
     Returns (logits (B, V) f32, hidden (B, 1, H) bf16, k_cache, v_cache)
-    with the new slot written — the same contract as talker_decode_step.
+    with the new slot written — the same contract as talker_decode_step —
+    plus (k_scale, v_scale) appended in int8-KV mode (a 6-tuple).
     """
     from ...ops.rope import default_inv_freq, rope_tables
     from ...weights import matmul_t
@@ -297,7 +336,7 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
     inter = mlp["gate_up_proj"]["weight"]["q"].shape[1] // 2
     S_buf = k_cache.shape[3]
     S = S_buf if attend_len is None else attend_len
-    picked = _pick_chunk(S, S_buf)
+    picked = _pick_chunk(S, S_buf, kv_chunk)
     if picked is None:
         raise ValueError(
             f"fused talker step cannot chunk attend window {S} (buffer "
@@ -305,6 +344,9 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
     Sc, nS = picked
     eps = cfg.rms_norm_eps
     C = mlp_chunks or _pick_mlp_chunks(inter)
+    if inter % C:
+        raise ValueError(f"mlp_chunks={C} does not divide "
+                         f"intermediate size {inter}")
 
     inv_freq = default_inv_freq(D, cfg.rope_theta)
     cos, sin = rope_tables(position[:, None], inv_freq)   # (B, 1, D) f32
@@ -312,10 +354,13 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
 
     # the current slot ci is masked OUT (its cached K/V is stale); the
     # kernel folds the fresh K/V into the softmax at finalize instead
+    per_row = jnp.ndim(cache_index) == 1
+    ci_col = (jnp.reshape(cache_index, (-1, 1)) if per_row
+              else jnp.asarray(cache_index))
     slot = jnp.arange(S)[None, :]
-    ok = (slot < cache_index) & kv_valid[:, :S]
+    ok = (slot < ci_col) & kv_valid[:, :S]
     if cfg.sliding_window is not None:
-        ok &= slot > (cache_index - cfg.sliding_window)
+        ok &= slot > (ci_col - cfg.sliding_window)
     bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
 
     if attn_impl not in ("mxu", "vpu"):
@@ -431,10 +476,19 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
       mlp["down_proj"]["weight"]["q"],
       k_cache, v_cache)   # block specs read only the first S window slots
 
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, newk[:, :, :, None, :], (0, 0, 0, cache_index, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, newv[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+    if per_row:
+        rows = jnp.arange(B)
+        # advanced indexing over axes 1 and 3 puts the broadcast (B,) index
+        # dim first: value layout (B, L, Hkv, D)
+        k_cache = k_cache.at[:, rows, :, cache_index].set(
+            jnp.swapaxes(newk, 0, 1))
+        v_cache = v_cache.at[:, rows, :, cache_index].set(
+            jnp.swapaxes(newv, 0, 1))
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, newk[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, newv[:, :, :, None, :], (0, 0, 0, cache_index, 0))
     logits = matmul_t(h.astype(jnp.float32), params["codec_head"])
     return logits, h[:, None, :].astype(embed.dtype), k_cache, v_cache
 
@@ -448,6 +502,7 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
                     position: jax.Array, cache_index, kv_valid: jax.Array,
                     k_cache: jax.Array, v_cache: jax.Array,
                     attend_len: Optional[int] = None,
+                    mlp_chunks: int = 0, kv_chunk: int = 0,
                     attn_impl: str = "mxu"
                     ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Plain-JAX implementation of the IDENTICAL W8A8 + online-softmax math
@@ -468,7 +523,7 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
     L = attn["qkv_proj"]["weight"]["q"].shape[0]
     S_buf = k_cache.shape[3]
     S = S_buf if attend_len is None else attend_len
-    Sc, nS = _pick_chunk(S, S_buf)
+    Sc, nS = _pick_chunk(S, S_buf, kv_chunk)
     eps = cfg.rms_norm_eps
     scale = D ** -0.5
 
@@ -476,10 +531,13 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
     cos, sin = rope_tables(position[:, None], inv_freq)
     cos, sin = cos[:, 0], sin[:, 0]
 
+    per_row = jnp.ndim(cache_index) == 1
+    ci_col = (jnp.reshape(cache_index, (-1, 1)) if per_row
+              else jnp.asarray(cache_index))
     slot = jnp.arange(S)[None, :]
-    ok = (slot < cache_index) & kv_valid[:, :S]
+    ok = (slot < ci_col) & kv_valid[:, :S]
     if cfg.sliding_window is not None:
-        ok &= slot > (cache_index - cfg.sliding_window)
+        ok &= slot > (ci_col - cfg.sliding_window)
     bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
     x = embed[:, 0, :].astype(jnp.bfloat16)
@@ -585,7 +643,7 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
         xn2 = _rms32(x.astype(jnp.float32),
                      layers["post_attention_layernorm"]["weight"][li], eps
                      ).astype(jnp.bfloat16)
-        C = _pick_mlp_chunks(inter)
+        C = mlp_chunks or _pick_mlp_chunks(inter)
         Ic = inter // C
         guq = mlp["gate_up_proj"]["weight"]["q"][li]
         gus = mlp["gate_up_proj"]["weight"]["s"][li]
@@ -606,9 +664,16 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
                ).astype(jnp.bfloat16)
     newk = jnp.stack(newks, axis=0)
     newv = jnp.stack(newvs, axis=0)
-    k_cache = jax.lax.dynamic_update_slice(
-        k_cache, newk[:, :, :, None, :], (0, 0, 0, cache_index, 0))
-    v_cache = jax.lax.dynamic_update_slice(
-        v_cache, newv[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+    if per_row:
+        rows = jnp.arange(B)
+        k_cache = k_cache.at[:, rows, :, cache_index].set(
+            jnp.swapaxes(newk, 0, 1))
+        v_cache = v_cache.at[:, rows, :, cache_index].set(
+            jnp.swapaxes(newv, 0, 1))
+    else:
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, newk[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, newv[:, :, :, None, :], (0, 0, 0, cache_index, 0))
     logits = matmul_t(h.astype(jnp.float32), params["codec_head"])
     return logits, h[:, None, :].astype(embed.dtype), k_cache, v_cache

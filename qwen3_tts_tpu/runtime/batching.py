@@ -97,15 +97,31 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
                     max_trailing: int, dtype=jnp.bfloat16,
                     prefill_bucket: int = 128,
                     staging_rows: Optional[int] = None,
-                    kv_quant: bool = False) -> SlotState:
+                    kv_quant: bool = False,
+                    fused_layout: bool = False) -> SlotState:
+    """`fused_layout=True` holds the live cache and staging pools in the
+    fused talker-step kernel's (L, B, Hkv, S, D) layout (ops/pallas/
+    talker_step.py) for the engine's whole lifetime — the S axis moves from
+    position 2 to 3, in both the live cache and the staged KV pools, so
+    installs stay straight block copies."""
     dims = StackDims.from_talker(cfg)
     B, S, H = num_slots, max_len, cfg.hidden_size
     K = staging_rows or num_slots
     L, Lp = cfg.num_hidden_layers, prefill_bucket
     kv_dtype = jnp.int8 if kv_quant else dtype
+    if fused_layout:
+        if kv_quant:
+            raise ValueError("fused_layout requires a bf16 KV cache")
+        cache = KVCache(
+            jnp.zeros((L, B, dims.kv_heads, S, dims.head_dim), dtype),
+            jnp.zeros((L, B, dims.kv_heads, S, dims.head_dim), dtype))
+        staged_kv_shape = (L, K, dims.kv_heads, Lp, dims.head_dim)
+    else:
+        cache = KVCache.zeros(L, B, S, dims.kv_heads, dims.head_dim,
+                              dtype=dtype, quantized=kv_quant)
+        staged_kv_shape = (L, K, Lp, dims.kv_heads, dims.head_dim)
     return SlotState(
-        cache=KVCache.zeros(L, B, S, dims.kv_heads, dims.head_dim,
-                            dtype=dtype, quantized=kv_quant),
+        cache=cache,
         kv_valid=jnp.zeros((B, S), bool),
         active=jnp.zeros((B,), bool),
         code0=jnp.zeros((B,), jnp.int32),
@@ -122,8 +138,8 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         req_id=jnp.full((B,), -1, jnp.int32),
         sampling=jnp.zeros((B, 5), jnp.float32),
         sub_sampling=jnp.zeros((B, 5), jnp.float32),
-        staged_k=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
-        staged_v=jnp.zeros((L, K, Lp, dims.kv_heads, dims.head_dim), kv_dtype),
+        staged_k=jnp.zeros(staged_kv_shape, kv_dtype),
+        staged_v=jnp.zeros(staged_kv_shape, kv_dtype),
         staged_k_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
                         if kv_quant else None),
         staged_v_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
@@ -178,6 +194,14 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
                         quantized=state.cache.quantized)
     logits, hidden_seq, tmp = talker_prefill(params, cfg, inputs_embeds,
                                              attn_mask, tmp)
+    if gen_cfg.fused_talker_step:
+        # staged pools mirror the live cache's fused (L, N, Hkv, Lp, D)
+        # layout (one transpose per staging call, amortized over the
+        # request's whole decode)
+        from ..ops.pallas.talker_step import transpose_cache_in
+
+        tmp = tmp._replace(k=transpose_cache_in(tmp.k),
+                           v=transpose_cache_in(tmp.v))
     key, sub = jax.random.split(key)
     ban = jnp.full((N,), 0 < gen_cfg.min_new_tokens)
     code0 = process_and_sample_rows(
@@ -253,18 +277,25 @@ def _install_all(state: SlotState) -> SlotState:
     def do(st: SlotState) -> SlotState:
         slot = jnp.argmax(~st.active).astype(jnp.int32)
         ridx = jnp.argmax(st.staged_valid).astype(jnp.int32)
-        L, K, Lp, Hkv, D = st.staged_k.shape
-        S = st.cache.k.shape[2]
+        L = st.staged_k.shape[0]
+        # staged pools mirror the live cache's axis order past (L, row), so
+        # the install is a straight block copy in BOTH layouts: standard
+        # (L, K, Lp, Hkv, D) -> (L, B, S, ...) and fused (L, K, Hkv, Lp, D)
+        # -> (L, B, Hkv, S, ...)
+        blk_size = (L, 1) + st.staged_k.shape[2:]
+        Lp = st.staged_kv_valid.shape[1]
+        S = st.kv_valid.shape[1]
 
         kblk = jax.lax.dynamic_slice(st.staged_k, (0, ridx, 0, 0, 0),
-                                     (L, 1, Lp, Hkv, D))
+                                     blk_size)
         vblk = jax.lax.dynamic_slice(st.staged_v, (0, ridx, 0, 0, 0),
-                                     (L, 1, Lp, Hkv, D))
+                                     blk_size)
         k_new = jax.lax.dynamic_update_slice(st.cache.k, kblk,
                                              (0, slot, 0, 0, 0))
         v_new = jax.lax.dynamic_update_slice(st.cache.v, vblk,
                                              (0, slot, 0, 0, 0))
         if st.cache.quantized:
+            Hkv = st.staged_k_scale.shape[3]
             ks_blk = jax.lax.dynamic_slice(st.staged_k_scale, (0, ridx, 0, 0),
                                            (L, 1, Lp, Hkv))
             vs_blk = jax.lax.dynamic_slice(st.staged_v_scale, (0, ridx, 0, 0),
@@ -401,7 +432,8 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
 
     eos = cfg.codec_eos_token_id
     B = state.code0.shape[0]
-    S = state.cache.k.shape[2] if attend_len is None else attend_len
+    S_buf = state.kv_valid.shape[1]
+    S = S_buf if attend_len is None else attend_len
     dims = StackDims.from_talker(cfg)
     dtype = state.last_hidden.dtype
     suppress = suppress_mask_for(cfg)
@@ -435,23 +467,44 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
     embed = code0_embed + sub_emb_sum + text_h.astype(dtype)
 
     cache_index = state.prefill_len + state.t      # (B,)
-    slot = jnp.arange(S)[None, :]
-    kv_valid = state.kv_valid[:, :S] | (
-        (slot >= state.prefill_len[:, None]) & (slot <= cache_index[:, None]))
-    if cfg.sliding_window is not None:
-        # index-based sliding window, exactly as talker_decode_step clamps
-        # (models/talker.py:391-396) — without this, a use_sliding_window
-        # checkpoint would diverge between generate_frames and the engine
-        kv_valid &= slot > (cache_index[:, None] - cfg.sliding_window)
-    bias = mask_to_bias(kv_valid[:, None, None, :])
     position = state.seq_lens + state.t
-    inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
-    cos, sin = rope_tables(position[:, None], inv_freq)
+    if gen_cfg.fused_talker_step:
+        # the whole 28-layer step in one pallas_call (ops/pallas/
+        # talker_step.py); the kernel builds its own bias from the per-row
+        # cache_index (masking the current slot out and folding the fresh
+        # K/V at finalize) and applies the sliding-window clamp itself
+        from ..ops.pallas.talker_step import talker_step_fused_cache
 
-    h, cache = _decoder_stack_scatter(params["layers"], params["norm"], dims,
-                                      embed, cos, sin, bias, state.cache,
-                                      cache_index, attend_len=attend_len)
-    logits = matmul_t(h[:, 0].astype(jnp.float32), params["codec_head"])
+        slot = jnp.arange(S)[None, :]
+        kv_valid = state.kv_valid[:, :S] | (
+            (slot >= state.prefill_len[:, None])
+            & (slot <= cache_index[:, None]))
+        interpret = jax.devices()[0].platform != "tpu"
+        logits, h, kf, vf = talker_step_fused_cache(
+            params, cfg, embed, position, cache_index, kv_valid,
+            state.cache.k, state.cache.v, attend_len=attend_len,
+            interpret=interpret)
+        cache = state.cache._replace(k=kf, v=vf)
+    else:
+        slot = jnp.arange(S)[None, :]
+        kv_valid = state.kv_valid[:, :S] | (
+            (slot >= state.prefill_len[:, None])
+            & (slot <= cache_index[:, None]))
+        if cfg.sliding_window is not None:
+            # index-based sliding window, exactly as talker_decode_step
+            # clamps (models/talker.py:391-396) — without this, a
+            # use_sliding_window checkpoint would diverge between
+            # generate_frames and the engine
+            kv_valid &= slot > (cache_index[:, None] - cfg.sliding_window)
+        bias = mask_to_bias(kv_valid[:, None, None, :])
+        inv_freq = default_inv_freq(dims.head_dim, cfg.rope_theta)
+        cos, sin = rope_tables(position[:, None], inv_freq)
+
+        h, cache = _decoder_stack_scatter(params["layers"], params["norm"],
+                                          dims, embed, cos, sin, bias,
+                                          state.cache, cache_index,
+                                          attend_len=attend_len)
+        logits = matmul_t(h[:, 0].astype(jnp.float32), params["codec_head"])
     ban = state.t + 1 < gen_cfg.min_new_tokens
     next_code0 = process_and_sample_rows(
         logits, k2, state.sampling, gen_cfg.sampling.top_k,
@@ -645,6 +698,24 @@ class ContinuousBatchingEngine:
         self.num_slots = num_slots
         self.max_trailing = max_trailing
         self.dtype = dtype
+        if gen_cfg.fused_talker_step:
+            # the serve step runs the fused talker megakernel: int8 weights,
+            # bf16 KV, single device (the kernel is not shard_map-aware),
+            # KV buffer a multiple of the kernel's 128-slot chunks
+            if gen_cfg.kv_quant:
+                raise ValueError(
+                    "fused_talker_step requires a bf16 KV cache "
+                    "(kv_quant=True unsupported)")
+            if mesh is not None:
+                raise ValueError(
+                    "fused_talker_step is single-device; drop it for a "
+                    "mesh-sharded engine")
+            wq = params["layers"]["self_attn"]["qkv_proj"]["weight"]
+            if not (isinstance(wq, dict) and "q" in wq):
+                raise ValueError(
+                    "fused_talker_step requires int8-quantized params")
+            max_len = -(-max_len // 128) * 128
+        self.max_len = max_len
         self.prefill_bucket = int(prefill_bucket if prefill_bucket is not None
                                   else max(8, min(128, max_len // 2)))
         if self.prefill_bucket >= max_len:
@@ -659,7 +730,8 @@ class ContinuousBatchingEngine:
         self.state = init_slot_state(cfg, num_slots, max_len, max_trailing,
                                      dtype, prefill_bucket=self.prefill_bucket,
                                      kv_quant=gen_cfg.kv_quant,
-                                     staging_rows=self.staging_rows)
+                                     staging_rows=self.staging_rows,
+                                     fused_layout=gen_cfg.fused_talker_step)
         self.mesh = mesh
         if mesh is not None:
             # one engine spanning chips: slots/staging sharded over "dp"
@@ -756,7 +828,7 @@ class ContinuousBatchingEngine:
             req.inputs_embeds, req.attn_mask, req.trailing)
         if self._tts_pad_dev is None:
             self._tts_pad_dev = jnp.asarray(req.tts_pad, self.dtype)
-        S = self.state.cache.k.shape[2]
+        S = self.max_len
         mf = min(req.max_frames, S - self.prefill_bucket - 1)
         if mf <= 0:
             self._instant.append(Completion(
@@ -917,7 +989,7 @@ class ContinuousBatchingEngine:
     def _attend_buckets(self):
         """Every attend bucket a live engine can request (ATTEND_BUCKET
         multiples clamped to the KV capacity)."""
-        S = self.state.cache.k.shape[2]
+        S = self.max_len
         out = []
         a = ATTEND_BUCKET
         while a < S:
@@ -1008,7 +1080,7 @@ class ContinuousBatchingEngine:
         """Background safety net: when the live window approaches the next
         attend bucket, compile its executable on a worker thread so the
         rollover tick finds it ready (warmup_serve makes this a no-op)."""
-        S = self.state.cache.k.shape[2]
+        S = self.max_len
         nxt = min(S, attend + ATTEND_BUCKET)
         if (nxt <= attend or nxt in self._chunk_exe
                 or nxt in self._exe_building):
@@ -1037,7 +1109,7 @@ class ContinuousBatchingEngine:
         self.key, sub = jax.random.split(self.key)
         # static attention bucket covering the furthest live slot by chunk
         # end; liveness is stale by the in-flight ticks, so over-cover
-        S = self.state.cache.k.shape[2]
+        S = self.max_len
         ticks = self._next_ticks()
         max_idx = (self.prefill_bucket + self.max_live_t
                    + self._ticks_in_flight)

@@ -164,12 +164,11 @@ class TTSServer:
         kw = model._merge_generate_kwargs(**(overrides or {}))
         if max_new_tokens is not None:
             kw["max_new_tokens"] = max_new_tokens
-        # the serving engine runs its own slot-batched serve step; the
-        # whole-generate fused_talker_step kernel does not apply there.
-        # Normalize it off so engines built from differently-defaulted
-        # models (int8-on-TPU now auto-enables it) keep sharing one set of
-        # compiled programs (gen_cfg is a static jit argument).
-        kw["fused_talker_step"] = False
+        # the serving engine's serve step runs the fused talker megakernel
+        # too (runtime/batching.py _serve_step_core), so the model's
+        # fused_talker_step default (int8-on-TPU auto-enables it) carries
+        # straight into serving — the measured per-step kernel win
+        # (DESIGN.md §8f) reaches the layer that matters.
         self.gen_cfg: GenerationConfig = model._generation_config(kw)
         self.dec_params = tok.dec_params
         self._decode_tok = tok

@@ -785,3 +785,104 @@ def test_engines_with_different_knobs_share_programs():
     assert out and out[0].request_id == 0
     assert count() == 0, (
         f"default-knob change recompiled {count()} engine programs")
+
+
+def test_engine_fused_talker_step_matches_generate_and_is_sync_invariant():
+    """The serving engine's fused-talker-step path (serve step = the whole-
+    step Pallas megakernel, fused-layout cache/staging pools, per-slot write
+    indices) must (a) be invariant to host sync granularity, (b) track the
+    XLA-engine codes closely under greedy decoding (W8A8 vs W8A16 numerics
+    flip near-ties only), and (c) track generate_frames' fused path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                Request)
+    from qwen3_tts_tpu.runtime.generate import GenerationConfig
+    from tests.test_pallas_talker_step import _tiny_talker
+
+    cfg, params = _tiny_talker()
+    M = 6
+    rng = np.random.default_rng(11)
+    gen_fused = GenerationConfig(
+        max_new_tokens=M,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False),
+        fused_talker_step=True)
+
+    def req(b, embeds, mask, trailing, pad):
+        return Request(
+            request_id=b, inputs_embeds=jnp.asarray(embeds[b:b + 1]),
+            attn_mask=jnp.asarray(mask[b:b + 1]),
+            trailing=jnp.asarray(trailing[b:b + 1]),
+            trailing_len=trailing.shape[1], tts_pad=jnp.asarray(pad),
+            max_frames=M - 1)
+
+    B, T = 2, 8
+    embeds = jnp.asarray(rng.normal(0, 0.3, (B, T, cfg.hidden_size)),
+                         jnp.bfloat16)
+    mask = jnp.ones((B, T), jnp.int32)
+    trailing = jnp.asarray(rng.normal(0, 0.3, (B, 3, cfg.hidden_size)),
+                           jnp.bfloat16)
+    pad = jnp.zeros((1, 1, cfg.hidden_size), jnp.bfloat16)
+
+    def drain(g, ticks):
+        eng = ContinuousBatchingEngine(params, cfg, g, num_slots=2,
+                                       max_len=120, max_trailing=8,
+                                       dtype=jnp.bfloat16,
+                                       ticks_per_sync=ticks)
+        if g.fused_talker_step:
+            assert eng.max_len % 128 == 0   # kernel KV chunking
+        for b in range(B):
+            eng.submit(req(b, embeds, mask, trailing, pad))
+        return {c.request_id: c.codes for c in eng.run_until_drained()}
+
+    got1 = drain(gen_fused, 3)
+    got2 = drain(gen_fused, 1)
+    assert set(got1) == set(got2) == {0, 1}
+    for b in range(B):  # (a) sync-granularity invariance, byte-exact
+        np.testing.assert_array_equal(got1[b], got2[b])
+
+    got_xla = drain(dataclasses.replace(gen_fused, fused_talker_step=False),
+                    3)
+    n = sum(min(len(got1[b]), len(got_xla[b])) for b in range(B))
+    agree = sum((got1[b][:len(got_xla[b])] ==
+                 got_xla[b][:len(got1[b])]).mean() * min(len(got1[b]),
+                                                         len(got_xla[b]))
+                for b in range(B) if min(len(got1[b]), len(got_xla[b])))
+    if n:  # (b) numerics tracking
+        assert agree / n >= 0.6, f"fused-engine vs xla-engine agreement {agree / n}"
+
+
+def test_engine_fused_talker_step_validation():
+    """fused_talker_step engines must reject kv_quant, meshes and
+    non-int8 params loudly."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
+    from qwen3_tts_tpu.ops.sampling import SamplingParams
+    from qwen3_tts_tpu.runtime.batching import ContinuousBatchingEngine
+    from qwen3_tts_tpu.runtime.generate import GenerationConfig
+    from qwen3_tts_tpu.utils.testing import random_talker_params
+    from tests.test_pallas_talker_step import _tiny_talker
+
+    cfg, params = _tiny_talker()
+    base = GenerationConfig(
+        max_new_tokens=4, sampling=SamplingParams(do_sample=False),
+        subtalker=SamplingParams(do_sample=False), fused_talker_step=True)
+
+    import dataclasses
+    with pytest.raises(ValueError, match="kv_quant"):
+        ContinuousBatchingEngine(
+            params, cfg, dataclasses.replace(base, kv_quant=True),
+            num_slots=2, max_len=128, max_trailing=8)
+    bf16 = random_talker_params(cfg, jax.random.PRNGKey(0),
+                                dtype=jnp.bfloat16)
+    with pytest.raises(ValueError, match="int8"):
+        ContinuousBatchingEngine(bf16, cfg, base, num_slots=2, max_len=128,
+                                 max_trailing=8)

@@ -247,3 +247,68 @@ def test_streaming_session_fused_step_rounds_kv_buffer():
     assert packets, "fused streaming session produced no packets"
     for pkt in packets:
         assert np.isfinite(pkt.wav).all()
+
+
+@pytest.mark.parametrize("kv_chunk,mlp_chunks", [(256, 2), (128, 4)])
+def test_kernel_matches_reference_tuned_chunks(kv_chunk, mlp_chunks):
+    """The (kv_chunk, mlp_chunks) tuning knobs change the chunk decomposition
+    (and hence reduction order) identically in kernel and ref."""
+    from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
+                                                      talker_step_ref,
+                                                      transpose_cache_in)
+
+    cfg, params = _tiny_talker()
+    B, S_buf, ci = 4, 256, 37
+    k, v, kv_valid, embed, position = _decode_state(cfg, B, S_buf, ci)
+    kf, vf = transpose_cache_in(k), transpose_cache_in(v)
+
+    lg_k, h_k, _, _ = talker_step_fused_cache(
+        params, cfg, embed, position, ci, kv_valid, kf, vf,
+        attend_len=S_buf, kv_chunk=kv_chunk, mlp_chunks=mlp_chunks,
+        interpret=True)
+    lg_r, h_r, _, _ = talker_step_ref(
+        params, cfg, embed, position, ci, kv_valid, kf, vf,
+        attend_len=S_buf, kv_chunk=kv_chunk, mlp_chunks=mlp_chunks)
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_r),
+                               rtol=0.02, atol=0.05)
+    np.testing.assert_allclose(np.asarray(h_k, np.float32),
+                               np.asarray(h_r, np.float32),
+                               rtol=0.05, atol=0.02)
+
+
+def test_kernel_per_row_cache_index_matches_scalar():
+    """A (B,) cache_index with identical entries must produce exactly the
+    same logits and cache writes as the scalar form (the serving engine
+    passes per-slot indices); ragged per-row indices must scatter each row's
+    fresh K/V to its own slot."""
+    from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
+                                                      transpose_cache_in,
+                                                      transpose_cache_out)
+
+    cfg, params = _tiny_talker()
+    B, S_buf, ci = 4, 256, 37
+    k, v, kv_valid, embed, position = _decode_state(cfg, B, S_buf, ci)
+    kf, vf = transpose_cache_in(k), transpose_cache_in(v)
+
+    import jax.numpy as jnp
+    lg_s, h_s, ks, vs = talker_step_fused_cache(
+        params, cfg, embed, position, ci, kv_valid, kf, vf,
+        attend_len=S_buf, interpret=True)
+    lg_v, h_v, kv_, vv = talker_step_fused_cache(
+        params, cfg, embed, position, jnp.full((B,), ci, jnp.int32),
+        kv_valid, kf, vf, attend_len=S_buf, interpret=True)
+    np.testing.assert_array_equal(np.asarray(lg_s), np.asarray(lg_v))
+    np.testing.assert_array_equal(np.asarray(ks, np.float32),
+                                  np.asarray(kv_, np.float32))
+
+    # ragged: each row writes its own slot, other slots untouched
+    idx = jnp.asarray([30, 41, 52, 63], jnp.int32)
+    _, _, kr, vr = talker_step_fused_cache(
+        params, cfg, embed, position, idx, kv_valid, kf, vf,
+        attend_len=S_buf, interpret=True)
+    kr_std = np.asarray(transpose_cache_out(kr), np.float32)
+    k_std = np.asarray(k, np.float32)
+    for b, s in enumerate([30, 41, 52, 63]):
+        keep = np.arange(S_buf) != s
+        np.testing.assert_array_equal(kr_std[:, b, keep], k_std[:, b, keep])
+        assert not np.array_equal(kr_std[:, b, s], k_std[:, b, s])

@@ -115,9 +115,14 @@ def test_param_specs_follow_tp_plan():
 
 
 @requires_reference
-def test_sharded_engine_matches_unsharded():
-    """One ContinuousBatchingEngine spanning a dp=4 mesh (slots + staging
-    rows sharded) must produce exactly the unsharded engine's outputs."""
+@pytest.mark.parametrize("dp,tp", [(4, 1), (2, 2)])
+def test_sharded_engine_matches_unsharded(dp, tp):
+    """One ContinuousBatchingEngine spanning a (dp, tp) mesh (slots +
+    staging rows sharded over dp, params over the HF tp plan — the
+    reference's declared-but-never-executed colwise/rowwise metadata,
+    configuration_qwen3_tts.py:354-362) must produce exactly the unsharded
+    engine's outputs; tp=2 executes the collectives inside every serve
+    chunk and staging prefill."""
     import jax
     import jax.numpy as jnp
 
@@ -151,7 +156,7 @@ def test_sharded_engine_matches_unsharded():
                                         max_len=64, max_trailing=8,
                                         dtype=jnp.float32))
 
-    mesh = make_mesh(dp=4, tp=1)
+    mesh = make_mesh(dp=dp, tp=tp)
     sharded_params = shard_talker_params(params, mesh)
     with mesh:
         got = run(ContinuousBatchingEngine(sharded_params, cfg, gen_cfg,

@@ -421,10 +421,11 @@ def test_server_vocoder_device_offload_matches(cv_model):
     assert dev not in tok_leaf.devices()
 
 
-def test_server_normalizes_fused_talker_step_off(tmp_path, monkeypatch):
-    """The engine runs its own serve step; a model whose int8-on-TPU auto
-    default enables fused_talker_step must not leak the flag into the
-    engine's static gen_cfg (it would fragment the shared program cache)."""
+def test_server_carries_fused_talker_step_into_engine(tmp_path, monkeypatch):
+    """The serving engine's serve step runs the fused talker megakernel too,
+    so a model whose int8-on-TPU auto default enables fused_talker_step must
+    carry the flag straight into the engine's gen_cfg (and a fused-layout
+    slot state) — the kernel's measured per-step win reaches serving."""
     import jax.numpy as jnp
 
     import qwen3_tts_tpu.inference.model as model_mod
@@ -437,11 +438,15 @@ def test_server_normalizes_fused_talker_step_off(tmp_path, monkeypatch):
     quant = Qwen3TTSModel.from_pretrained(ckpt, dtype=jnp.float32,
                                           quantize="int8")
     quant.processor = FakeTokenizer()
-    # the auto default would enable the kernel on this model's generate path
+    # the auto default enables the kernel on this model's generate path
     assert quant._generation_config(
         quant._merge_generate_kwargs()).fused_talker_step
     srv = _server(quant)
-    assert srv.gen_cfg.fused_talker_step is False
+    assert srv.gen_cfg.fused_talker_step is True
+    assert srv.engine.max_len % 128 == 0      # kernel KV chunking
+    # fused-layout cache: (L, B, Hkv, S, D)
+    k = srv.engine.state.cache.k
+    assert k.shape[3] == srv.engine.max_len
 
 
 def test_server_warmup_then_traffic_identical(cv_model):
