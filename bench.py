@@ -150,8 +150,8 @@ def main():
     # BENCH_KV=int8 additionally quantizes the KV cache (wins at long
     # generations; see docs/DESIGN.md measurements)
     kv_quant = os.environ.get("BENCH_KV", "") in ("1", "int8")
-    # the fused whole-step talker megakernel (requires int8 weights + bf16
-    # KV) measured 0.89x/0.84x of the XLA step at S=256/1024, B=32
+    # the fused whole-step talker megakernel (requires int8 weights; bf16
+    # or int8 KV) measured 0.89x/0.84x of the XLA step at S=256/1024, B=32
     # (benchmarks/talker_step_ab.py) and is the public-API default on TPU.
     # Gate the auto-default on the backend platform like _generation_config:
     # off-TPU the kernel would run in Pallas interpret mode and produce
@@ -159,7 +159,7 @@ def main():
     _on_tpu = jax.devices()[0].platform == "tpu"
     fused_step = os.environ.get(
         "BENCH_FUSED_STEP",
-        "1" if (quant == "int8" and not kv_quant and _on_tpu) else "0") == "1"
+        "1" if (quant == "int8" and _on_tpu) else "0") == "1"
     gen_cfg = GenerationConfig(
         max_new_tokens=M,
         sampling=SamplingParams(do_sample=True, top_k=50, temperature=0.9,
@@ -379,7 +379,7 @@ def main():
         eng_cfg = GenerationConfig(
             max_new_tokens=frames_per + 1, sampling=gen_cfg.sampling,
             subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-            kv_quant=kv_quant)
+            kv_quant=kv_quant, fused_talker_step=fused_step)
         engine = ContinuousBatchingEngine(
             params, cfg, eng_cfg, num_slots=slots,
             max_len=L + frames_per + 8, max_trailing=32, dtype=dtype,
@@ -514,10 +514,12 @@ def main():
 
         Bl = int(os.environ.get("BENCH_LONG_BATCH", "8"))
         Ml = int(os.environ.get("BENCH_LONG_FRAMES", "1024"))
+        # best long config per benchmarks/long_gen_ab.py (int8 KV halves
+        # the dominant KV DMA; the fused kernel reads it directly)
         long_cfg = GenerationConfig(
             max_new_tokens=Ml, sampling=gen_cfg.sampling,
             subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-            kv_quant=True)
+            kv_quant=True, fused_talker_step=fused_step)
         l_embeds = embeds[:Bl]
         l_mask = mask[:Bl]
         l_trailing = trailing[:Bl]
@@ -542,35 +544,47 @@ def main():
     # compiler (standalone kernel: 265 s) — run with BENCH_PREFILL=1 once
     # /root/repo/.jax_cache carries the program (docs/ROADMAP.md)
     prefill_ms = None
-    if os.environ.get("BENCH_PREFILL", "0") == "1":
+    prefill_dense_ms = None
+    if os.environ.get("BENCH_PREFILL", "1") == "1":
         from functools import partial
 
         from qwen3_tts_tpu.models.talker import (KVCache, StackDims,
                                                  talker_prefill)
 
-        # T=2048 is the flash-route boundary (FLASH_PREFILL_MIN_T); T=4096
-        # wedged the remote compiler for >25 min on first build — keep the
-        # driver-visible row at the boundary shape and probe larger T
-        # manually (BENCH_PREFILL_T)
-        Bp, Tp = 4, int(os.environ.get("BENCH_PREFILL_T", "2048"))
+        # T=4096 is where the flash kernel wins 3.2x (DESIGN.md §8c).  The
+        # Mosaic compile of the kernel inside the 28-layer program takes
+        # >25 min on this image's remote compiler the FIRST time —
+        # benchmarks/prefill_precompile.py bakes it into .jax_cache off the
+        # bench clock; with a warm cache this section costs one ~20s
+        # executable load.  BENCH_PREFILL=0 skips; BENCH_PREFILL_T resizes.
+        Bp, Tp = 4, int(os.environ.get("BENCH_PREFILL_T", "4096"))
         dims = StackDims.from_talker(cfg)
 
-        @partial(jax.jit, static_argnames=())
-        def prefill_run(e, m):
+        @partial(jax.jit, static_argnames=("allow_flash",))
+        def prefill_run(e, m, allow_flash=True):
             cache = KVCache.zeros(cfg.num_hidden_layers, Bp, Tp + 8,
                                   dims.kv_heads, dims.head_dim, dtype=dtype)
-            logits, _, _ = talker_prefill(params, cfg, e, m, cache)
+            logits, _, _ = talker_prefill(params, cfg, e, m, cache,
+                                          allow_flash=allow_flash)
             return jnp.sum(logits.astype(jnp.float32))
 
         p_embeds = (0.02 * jax.random.normal(
             rng, (Bp, Tp, cfg.hidden_size))).astype(dtype)
         p_mask = jnp.ones((Bp, Tp), jnp.int32)
-        _mark("prefill warmup")
+        _mark("prefill warmup (flash route)")
         _sync(prefill_run(p_embeds, p_mask))
         _mark("prefill measured run")
         t0 = time.time()
         _sync(prefill_run(p_embeds, p_mask))
         prefill_ms = (time.time() - t0) * 1e3
+        _mark(f"prefill_ms_t{Tp}={prefill_ms:.0f}; dense warmup")
+        # dense-vs-flash ratio at the same shape (dense materializes the
+        # (B, Hkv, G, T, S) fp32 score tensor per layer)
+        _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
+        t0 = time.time()
+        _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
+        prefill_dense_ms = (time.time() - t0) * 1e3
+        _mark(f"prefill_dense_ms_t{Tp}={prefill_dense_ms:.0f}")
 
     extra = {
         "talker_decode_rtf": round(talker_rtf, 3),
@@ -597,7 +611,11 @@ def main():
     if long_rtf is not None:
         extra["long_rtf_b8_m1024_kvint8"] = round(long_rtf, 2)
     if prefill_ms is not None:
-        extra["prefill_ms_b4_t4096"] = round(prefill_ms, 1)
+        Tp = int(os.environ.get("BENCH_PREFILL_T", "4096"))
+        extra["prefill_ms_b4_t%d" % Tp] = round(prefill_ms, 1)
+        extra["prefill_dense_ms_b4_t%d" % Tp] = round(prefill_dense_ms, 1)
+        extra["prefill_flash_speedup"] = round(prefill_dense_ms / prefill_ms,
+                                               2)
     _mark("done")
     print(json.dumps({
         "metric": "e2e_rtf_%s_batch%d%s" % (

@@ -311,17 +311,15 @@ class Qwen3TTSModel:
         # Pallas runs in interpret mode)
         fused_step = kw.get("fused_talker_step")
         if fused_step is None:
-            fused_step = (self.quantized == "int8" and not kv_quant
+            # int8-KV included: the kernel reads int8 KV chunks (halved KV
+            # DMA) with the scales folded into scores/probabilities
+            fused_step = (self.quantized == "int8"
                           and _default_backend_is_tpu())
         fused_step = bool(fused_step)
         if fused_step and self.quantized != "int8":
             raise ValueError(
                 "fused_talker_step=True requires int8 weights; load with "
                 "from_pretrained(..., quantize='int8')")
-        if fused_step and kv_quant:
-            raise ValueError(
-                "fused_talker_step=True requires a bf16 KV cache; drop "
-                "kv_quant=True (or pass fused_talker_step=False)")
         return GenerationConfig(
             max_new_tokens=int(kw["max_new_tokens"]),
             min_new_tokens=int(kw.get("min_new_tokens", 2)),

@@ -365,10 +365,15 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
 
     if attn_impl not in ("mxu", "vpu"):
         raise ValueError(f"unknown attn_impl {attn_impl!r}")
+    quant_kv = k_scale is not None
+    if quant_kv and attn_impl != "mxu":
+        raise ValueError("int8-KV fused talker step supports attn_impl='mxu' "
+                         "only")
     mxu_attn = attn_impl == "mxu"
     kernel = functools.partial(
         _kernel, B=B, H=H, heads=heads, kv_heads=kv_heads, D=D,
-        inter=inter, C=C, Sc=Sc, nS=nS, eps=eps, mxu_attn=mxu_attn)
+        inter=inter, C=C, Sc=Sc, nS=nS, eps=eps, mxu_attn=mxu_attn,
+        quant_kv=quant_kv)
 
     Ic = inter // C
     vconst = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -428,7 +433,12 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
             blk((1, H, Ic), lambda l, p: (l, 0, cmap(p))),
             blk((1, B, kv_heads, Sc, D), kvmap),          # kc chunk
             blk((1, B, kv_heads, Sc, D), kvmap),          # vc chunk
-        ],
+        ] + ([
+            # int8-KV mode: per-(slot, head) fp32 scale chunks ride the same
+            # early-flip schedule as the KV chunks (tiny: B*Hkv*Sc*4 bytes)
+            blk((1, B, kv_heads, Sc), lambda l, p: kvmap(l, p)[:4]),
+            blk((1, B, kv_heads, Sc), lambda l, p: kvmap(l, p)[:4]),
+        ] if quant_kv else []),
         out_specs=(
             vconst,
             blk((1, B, kv_heads, D), lambda l, p: (l, 0, 0, 0)),
@@ -474,23 +484,56 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
       attn["qkv_proj"]["weight"]["q"], attn["o_proj"]["weight"]["q"],
       mlp["gate_up_proj"]["weight"]["q"], mlp["gate_up_proj"]["weight"]["q"],
       mlp["down_proj"]["weight"]["q"],
-      k_cache, v_cache)   # block specs read only the first S window slots
+      k_cache, v_cache,
+      *((k_scale, v_scale) if quant_kv else ())
+    )   # block specs read only the first S window slots
 
+    if quant_kv:
+        # quantize the fresh slot on the way into the cache (it attended
+        # itself in bf16 this step; from the next step on it reads back
+        # int8, matching the XLA kv_quant path's storage)
+        from ...models.talker import kv_quantize
+
+        newk_q, newk_s = kv_quantize(newk)   # (L, B, Hkv, D) -> + (L, B, Hkv)
+        newv_q, newv_s = kv_quantize(newv)
     if per_row:
         rows = jnp.arange(B)
         # advanced indexing over axes 1 and 3 puts the broadcast (B,) index
         # dim first: value layout (B, L, Hkv, D)
-        k_cache = k_cache.at[:, rows, :, cache_index].set(
-            jnp.swapaxes(newk, 0, 1))
-        v_cache = v_cache.at[:, rows, :, cache_index].set(
-            jnp.swapaxes(newv, 0, 1))
+        if quant_kv:
+            k_cache = k_cache.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newk_q, 0, 1))
+            v_cache = v_cache.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newv_q, 0, 1))
+            k_scale = k_scale.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newk_s, 0, 1))
+            v_scale = v_scale.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newv_s, 0, 1))
+        else:
+            k_cache = k_cache.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newk, 0, 1))
+            v_cache = v_cache.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newv, 0, 1))
     else:
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, newk[:, :, :, None, :], (0, 0, 0, cache_index, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, newv[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+        if quant_kv:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk_q[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv_q[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, newk_s[:, :, :, None], (0, 0, 0, cache_index))
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, newv_s[:, :, :, None], (0, 0, 0, cache_index))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, newk[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, newv[:, :, :, None, :], (0, 0, 0, cache_index, 0))
     logits = matmul_t(h.astype(jnp.float32), params["codec_head"])
-    return logits, h[:, None, :].astype(embed.dtype), k_cache, v_cache
+    hidden = h[:, None, :].astype(embed.dtype)
+    if quant_kv:
+        return logits, hidden, k_cache, v_cache, k_scale, v_scale
+    return logits, hidden, k_cache, v_cache
 
 
 # ---------------------------------------------------------------------------
@@ -503,12 +546,14 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
                     k_cache: jax.Array, v_cache: jax.Array,
                     attend_len: Optional[int] = None,
                     mlp_chunks: int = 0, kv_chunk: int = 0,
-                    attn_impl: str = "mxu"
-                    ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+                    attn_impl: str = "mxu",
+                    k_scale: Optional[jax.Array] = None,
+                    v_scale: Optional[jax.Array] = None):
     """Plain-JAX implementation of the IDENTICAL W8A8 + online-softmax math
     (fused-layout cache), for parity tests against the kernel.  attn_impl
     mirrors the kernel's: "mxu" uses batched dot_generals for chunk
-    scores/PV, "vpu" elementwise mul + reductions."""
+    scores/PV, "vpu" elementwise mul + reductions.  k_scale/v_scale mirror
+    the kernel's int8-KV mode (fold-scale order identical)."""
     from ...ops.rope import default_inv_freq, rope_tables
     from ...weights import matmul_t
 
@@ -531,6 +576,9 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
     cos, sin = rope_tables(position[:, None], inv_freq)
     cos, sin = cos[:, 0], sin[:, 0]
 
+    quant_kv = k_scale is not None
+    if quant_kv and attn_impl != "mxu":
+        raise ValueError("int8-KV ref supports attn_impl='mxu' only")
     per_row = jnp.ndim(cache_index) == 1
     ci_col = (jnp.reshape(cache_index, (-1, 1)) if per_row
               else jnp.asarray(cache_index))
@@ -572,9 +620,15 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
                 sl = slice(c * Sc, (c + 1) * Sc)
                 kf = k_cache[li, :, :, sl].reshape(B * kv_heads, Sc, D)
                 vf = v_cache[li, :, :, sl].reshape(B * kv_heads, Sc, D)
+                if quant_kv:
+                    kf = kf.astype(jnp.bfloat16)
+                    vf = vf.astype(jnp.bfloat16)
                 s = jax.lax.dot_general(
                     qb, kf, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)   # (BHkv, G, Sc)
+                if quant_kv:
+                    s = s * k_scale[li, :, :, sl].reshape(
+                        B * kv_heads, 1, Sc)
                 bc = jnp.broadcast_to(
                     bias[:, :, sl].reshape(B, 1, 1, Sc),
                     (B, kv_heads, G, Sc)).reshape(B * kv_heads, G, Sc)
@@ -583,8 +637,14 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
                 corr = jnp.exp(m - m_new)
                 e = jnp.exp(s - m_new[..., None]).astype(jnp.bfloat16)
                 den = den * corr + jnp.sum(e.astype(jnp.float32), axis=-1)
+                if quant_kv:
+                    ev = (e.astype(jnp.float32)
+                          * v_scale[li, :, :, sl].reshape(B * kv_heads, 1, Sc)
+                          ).astype(jnp.bfloat16)
+                else:
+                    ev = e
                 pv = jax.lax.dot_general(
-                    e, vf, (((2,), (1,)), ((0,), (0,))),
+                    ev, vf, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)   # (BHkv, G, D)
                 acc = acc * corr[..., None] + pv
                 m = m_new
@@ -664,16 +724,34 @@ def talker_step_ref(params: Dict[str, Any], cfg, embed: jax.Array,
                ).astype(jnp.bfloat16)
     newk = jnp.stack(newks, axis=0)
     newv = jnp.stack(newvs, axis=0)
+    if quant_kv:
+        from ...models.talker import kv_quantize
+
+        newk, newk_s = kv_quantize(newk)
+        newv, newv_s = kv_quantize(newv)
     if per_row:
         rows = jnp.arange(B)
         k_cache = k_cache.at[:, rows, :, cache_index].set(
             jnp.swapaxes(newk, 0, 1))
         v_cache = v_cache.at[:, rows, :, cache_index].set(
             jnp.swapaxes(newv, 0, 1))
+        if quant_kv:
+            k_scale = k_scale.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newk_s, 0, 1))
+            v_scale = v_scale.at[:, rows, :, cache_index].set(
+                jnp.swapaxes(newv_s, 0, 1))
     else:
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, newk[:, :, :, None, :], (0, 0, 0, cache_index, 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, newv[:, :, :, None, :], (0, 0, 0, cache_index, 0))
+        if quant_kv:
+            k_scale = jax.lax.dynamic_update_slice(
+                k_scale, newk_s[:, :, :, None], (0, 0, 0, cache_index))
+            v_scale = jax.lax.dynamic_update_slice(
+                v_scale, newv_s[:, :, :, None], (0, 0, 0, cache_index))
     logits = matmul_t(h.astype(jnp.float32), params["codec_head"])
-    return logits, h[:, None, :].astype(embed.dtype), k_cache, v_cache
+    hidden = h[:, None, :].astype(embed.dtype)
+    if quant_kv:
+        return logits, hidden, k_cache, v_cache, k_scale, v_scale
+    return logits, hidden, k_cache, v_cache

@@ -110,11 +110,13 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
     L, Lp = cfg.num_hidden_layers, prefill_bucket
     kv_dtype = jnp.int8 if kv_quant else dtype
     if fused_layout:
-        if kv_quant:
-            raise ValueError("fused_layout requires a bf16 KV cache")
+        shape = (L, B, dims.kv_heads, S, dims.head_dim)
         cache = KVCache(
-            jnp.zeros((L, B, dims.kv_heads, S, dims.head_dim), dtype),
-            jnp.zeros((L, B, dims.kv_heads, S, dims.head_dim), dtype))
+            jnp.zeros(shape, kv_dtype), jnp.zeros(shape, kv_dtype),
+            k_scale=(jnp.zeros(shape[:-1], jnp.float32) if kv_quant
+                     else None),
+            v_scale=(jnp.zeros(shape[:-1], jnp.float32) if kv_quant
+                     else None))
         staged_kv_shape = (L, K, dims.kv_heads, Lp, dims.head_dim)
     else:
         cache = KVCache.zeros(L, B, S, dims.kv_heads, dims.head_dim,
@@ -140,9 +142,9 @@ def init_slot_state(cfg: TalkerConfig, num_slots: int, max_len: int,
         sub_sampling=jnp.zeros((B, 5), jnp.float32),
         staged_k=jnp.zeros(staged_kv_shape, kv_dtype),
         staged_v=jnp.zeros(staged_kv_shape, kv_dtype),
-        staged_k_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
+        staged_k_scale=(jnp.zeros(staged_kv_shape[:-1], jnp.float32)
                         if kv_quant else None),
-        staged_v_scale=(jnp.zeros((L, K, Lp, dims.kv_heads), jnp.float32)
+        staged_v_scale=(jnp.zeros(staged_kv_shape[:-1], jnp.float32)
                         if kv_quant else None),
         staged_kv_valid=jnp.zeros((K, Lp), bool),
         staged_code0=jnp.zeros((K,), jnp.int32),
@@ -197,11 +199,16 @@ def stage_requests(params: Params, cfg: TalkerConfig, state: SlotState,
     if gen_cfg.fused_talker_step:
         # staged pools mirror the live cache's fused (L, N, Hkv, Lp, D)
         # layout (one transpose per staging call, amortized over the
-        # request's whole decode)
+        # request's whole decode); scales (L, N, Hkv, Lp) in int8-KV mode
         from ..ops.pallas.talker_step import transpose_cache_in
 
-        tmp = tmp._replace(k=transpose_cache_in(tmp.k),
-                           v=transpose_cache_in(tmp.v))
+        tmp = tmp._replace(
+            k=transpose_cache_in(tmp.k),
+            v=transpose_cache_in(tmp.v),
+            k_scale=(transpose_cache_in(tmp.k_scale)
+                     if tmp.quantized else None),
+            v_scale=(transpose_cache_in(tmp.v_scale)
+                     if tmp.quantized else None))
     key, sub = jax.random.split(key)
     ban = jnp.full((N,), 0 < gen_cfg.min_new_tokens)
     code0 = process_and_sample_rows(
@@ -295,11 +302,11 @@ def _install_all(state: SlotState) -> SlotState:
         v_new = jax.lax.dynamic_update_slice(st.cache.v, vblk,
                                              (0, slot, 0, 0, 0))
         if st.cache.quantized:
-            Hkv = st.staged_k_scale.shape[3]
+            sblk_size = (L, 1) + st.staged_k_scale.shape[2:]
             ks_blk = jax.lax.dynamic_slice(st.staged_k_scale, (0, ridx, 0, 0),
-                                           (L, 1, Lp, Hkv))
+                                           sblk_size)
             vs_blk = jax.lax.dynamic_slice(st.staged_v_scale, (0, ridx, 0, 0),
-                                           (L, 1, Lp, Hkv))
+                                           sblk_size)
             cache_new = KVCache(
                 k_new, v_new,
                 jax.lax.dynamic_update_slice(st.cache.k_scale, ks_blk,
@@ -480,11 +487,20 @@ def _serve_step_core(params: Params, cfg: TalkerConfig, state: SlotState,
             (slot >= state.prefill_len[:, None])
             & (slot <= cache_index[:, None]))
         interpret = jax.devices()[0].platform != "tpu"
-        logits, h, kf, vf = talker_step_fused_cache(
-            params, cfg, embed, position, cache_index, kv_valid,
-            state.cache.k, state.cache.v, attend_len=attend_len,
-            interpret=interpret)
-        cache = state.cache._replace(k=kf, v=vf)
+        if state.cache.quantized:
+            logits, h, kf, vf, ksf, vsf = talker_step_fused_cache(
+                params, cfg, embed, position, cache_index, kv_valid,
+                state.cache.k, state.cache.v, attend_len=attend_len,
+                k_scale=state.cache.k_scale, v_scale=state.cache.v_scale,
+                interpret=interpret)
+            cache = state.cache._replace(k=kf, v=vf, k_scale=ksf,
+                                         v_scale=vsf)
+        else:
+            logits, h, kf, vf = talker_step_fused_cache(
+                params, cfg, embed, position, cache_index, kv_valid,
+                state.cache.k, state.cache.v, attend_len=attend_len,
+                interpret=interpret)
+            cache = state.cache._replace(k=kf, v=vf)
     else:
         slot = jnp.arange(S)[None, :]
         kv_valid = state.kv_valid[:, :S] | (
@@ -700,12 +716,9 @@ class ContinuousBatchingEngine:
         self.dtype = dtype
         if gen_cfg.fused_talker_step:
             # the serve step runs the fused talker megakernel: int8 weights,
-            # bf16 KV, single device (the kernel is not shard_map-aware),
-            # KV buffer a multiple of the kernel's 128-slot chunks
-            if gen_cfg.kv_quant:
-                raise ValueError(
-                    "fused_talker_step requires a bf16 KV cache "
-                    "(kv_quant=True unsupported)")
+            # bf16 or int8 KV, single device (the kernel is not
+            # shard_map-aware), KV buffer a multiple of the kernel's
+            # 128-slot chunks
             if mesh is not None:
                 raise ValueError(
                     "fused_talker_step is single-device; drop it for a "

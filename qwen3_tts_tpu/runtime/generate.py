@@ -202,15 +202,17 @@ def _init_decode_state(params: Params, cfg: TalkerConfig,
         sub_row=sub_row.astype(jnp.float32),
     )
     if gen_cfg.fused_talker_step:
-        # one transpose to the kernel's (L, B, Hkv, S, D) layout, amortized
-        # over every decode step of the call
+        # one transpose to the kernel's (L, B, Hkv, S, D) layout (scales
+        # (L, B, Hkv, S) in int8-KV mode), amortized over every decode step
         from ..ops.pallas.talker_step import transpose_cache_in
 
-        if gen_cfg.kv_quant:
-            raise ValueError("fused_talker_step requires a bf16 KV cache "
-                             "(kv_quant=True unsupported)")
-        cache = cache._replace(k=transpose_cache_in(cache.k),
-                               v=transpose_cache_in(cache.v))
+        cache = cache._replace(
+            k=transpose_cache_in(cache.k),
+            v=transpose_cache_in(cache.v),
+            k_scale=(transpose_cache_in(cache.k_scale)
+                     if cache.quantized else None),
+            v_scale=(transpose_cache_in(cache.v_scale)
+                     if cache.quantized else None))
     state = DecodeState(
         cache=cache, code0=code0, last_hidden=hidden_seq[:, -1:, :],
         presence=presence, done=jnp.zeros((B,), bool),
@@ -267,11 +269,19 @@ def frame_step(params: Params, cfg: TalkerConfig, gen_cfg: GenerationConfig,
         from ..ops.pallas.talker_step import talker_step_fused_cache
 
         interpret = jax.devices()[0].platform != "tpu"
-        logits, last_hidden, kf, vf = talker_step_fused_cache(
-            params, cfg, embed, position, cache_index, kv_valid,
-            state.cache.k, state.cache.v, attend_len=attend_len,
-            interpret=interpret)
-        cache = state.cache._replace(k=kf, v=vf)
+        if state.cache.quantized:
+            logits, last_hidden, kf, vf, ksf, vsf = talker_step_fused_cache(
+                params, cfg, embed, position, cache_index, kv_valid,
+                state.cache.k, state.cache.v, attend_len=attend_len,
+                k_scale=state.cache.k_scale, v_scale=state.cache.v_scale,
+                interpret=interpret)
+            cache = state.cache._replace(k=kf, v=vf, k_scale=ksf, v_scale=vsf)
+        else:
+            logits, last_hidden, kf, vf = talker_step_fused_cache(
+                params, cfg, embed, position, cache_index, kv_valid,
+                state.cache.k, state.cache.v, attend_len=attend_len,
+                interpret=interpret)
+            cache = state.cache._replace(k=kf, v=vf)
     else:
         logits, last_hidden, cache = talker_decode_step(
             params, cfg, embed, position, cache_index, kv_valid, state.cache,

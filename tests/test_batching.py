@@ -787,12 +787,14 @@ def test_engines_with_different_knobs_share_programs():
         f"default-knob change recompiled {count()} engine programs")
 
 
-def test_engine_fused_talker_step_matches_generate_and_is_sync_invariant():
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_engine_fused_talker_step_matches_generate_and_is_sync_invariant(
+        kv_quant):
     """The serving engine's fused-talker-step path (serve step = the whole-
     step Pallas megakernel, fused-layout cache/staging pools, per-slot write
-    indices) must (a) be invariant to host sync granularity, (b) track the
-    XLA-engine codes closely under greedy decoding (W8A8 vs W8A16 numerics
-    flip near-ties only), and (c) track generate_frames' fused path."""
+    indices; int8-KV scale pools when kv_quant) must (a) be invariant to
+    host sync granularity, (b) track the XLA-engine codes closely under
+    greedy decoding (W8A8 vs W8A16 numerics flip near-ties only)."""
     import dataclasses
 
     import jax
@@ -811,7 +813,7 @@ def test_engine_fused_talker_step_matches_generate_and_is_sync_invariant():
         max_new_tokens=M,
         sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
         subtalker=SamplingParams(do_sample=False),
-        fused_talker_step=True)
+        fused_talker_step=True, kv_quant=kv_quant)
 
     def req(b, embeds, mask, trailing, pad):
         return Request(
@@ -858,13 +860,12 @@ def test_engine_fused_talker_step_matches_generate_and_is_sync_invariant():
 
 
 def test_engine_fused_talker_step_validation():
-    """fused_talker_step engines must reject kv_quant, meshes and
-    non-int8 params loudly."""
+    """fused_talker_step engines must reject non-int8 params loudly, and
+    accept kv_quant (int8-KV kernel mode — fused-layout scale pools)."""
     import jax
     import jax.numpy as jnp
     import pytest
 
-    from qwen3_tts_tpu.config import CodePredictorConfig, TalkerConfig
     from qwen3_tts_tpu.ops.sampling import SamplingParams
     from qwen3_tts_tpu.runtime.batching import ContinuousBatchingEngine
     from qwen3_tts_tpu.runtime.generate import GenerationConfig
@@ -877,10 +878,11 @@ def test_engine_fused_talker_step_validation():
         subtalker=SamplingParams(do_sample=False), fused_talker_step=True)
 
     import dataclasses
-    with pytest.raises(ValueError, match="kv_quant"):
-        ContinuousBatchingEngine(
-            params, cfg, dataclasses.replace(base, kv_quant=True),
-            num_slots=2, max_len=128, max_trailing=8)
+    eng = ContinuousBatchingEngine(
+        params, cfg, dataclasses.replace(base, kv_quant=True),
+        num_slots=2, max_len=128, max_trailing=8)
+    assert eng.state.cache.quantized
+    assert eng.state.cache.k_scale.shape[3] == eng.max_len   # fused layout
     bf16 = random_talker_params(cfg, jax.random.PRNGKey(0),
                                 dtype=jnp.bfloat16)
     with pytest.raises(ValueError, match="int8"):

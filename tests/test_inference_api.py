@@ -270,23 +270,20 @@ def test_fast_path_defaults_and_overrides(tiny_checkpoint, monkeypatch):
         full._generation_config(full._merge_generate_kwargs(
             fused_talker_step=True))
 
-    # on a TPU backend the int8 default flips on — unless the user asked
-    # for an int8 KV cache (the kernel needs bf16 KV) or opted out
+    # on a TPU backend the int8 default flips on — for bf16 AND int8 KV
+    # caches (the kernel has an int8-KV mode) — unless the user opted out
     import qwen3_tts_tpu.inference.model as model_mod
     monkeypatch.setattr(model_mod, "_default_backend_is_tpu", lambda: True)
     gc = quant._generation_config(quant._merge_generate_kwargs())
     assert gc.fused_talker_step
     gc = quant._generation_config(quant._merge_generate_kwargs(
         kv_quant=True))
-    assert not gc.fused_talker_step and gc.kv_quant
+    assert gc.fused_talker_step and gc.kv_quant
     gc = quant._generation_config(quant._merge_generate_kwargs(
         fused_talker_step=False))
     assert not gc.fused_talker_step
     gc = full._generation_config(full._merge_generate_kwargs())
     assert not gc.fused_talker_step   # bf16 weights: XLA path
-    with pytest.raises(ValueError, match="bf16 KV"):
-        quant._generation_config(quant._merge_generate_kwargs(
-            fused_talker_step=True, kv_quant=True))
 
 
 def test_demo_cli_fast_path_flags():

@@ -163,28 +163,44 @@ def test_generate_frames_fused_talker_step_end_to_end():
     assert agree >= 0.6, f"fused vs xla generate agreement {agree}"
 
 
-def test_fused_talker_step_rejects_kv_quant():
+def test_generate_frames_fused_step_with_int8_kv():
+    """fused_talker_step composes with kv_quant: the kernel reads int8 KV
+    chunks with scales folded into scores/probabilities.  generate_frames
+    must run the combo end-to-end (interpret mode on CPU) and track the
+    bf16-KV fused path closely under greedy decoding."""
     import jax
     import jax.numpy as jnp
-    import pytest
+
+    import dataclasses
 
     from qwen3_tts_tpu.ops.sampling import SamplingParams
     from qwen3_tts_tpu.runtime.generate import (GenerationConfig,
                                                 generate_frames)
 
     cfg, params = _tiny_talker()
-    gen_cfg = GenerationConfig(
-        max_new_tokens=4, sampling=SamplingParams(do_sample=False),
-        subtalker=SamplingParams(do_sample=False),
-        fused_talker_step=True, kv_quant=True)
     B, L = 2, 8
-    embeds = jnp.zeros((B, L, cfg.hidden_size), jnp.bfloat16)
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(rng.normal(0, 0.3, (B, L, cfg.hidden_size)),
+                         jnp.bfloat16)
     mask = jnp.ones((B, L), jnp.int32)
-    trailing = jnp.zeros((B, 3, cfg.hidden_size), jnp.bfloat16)
+    trailing = jnp.asarray(rng.normal(0, 0.3, (B, 3, cfg.hidden_size)),
+                           jnp.bfloat16)
     pad = jnp.zeros((1, 1, cfg.hidden_size), jnp.bfloat16)
-    with pytest.raises(ValueError, match="kv_quant"):
-        generate_frames(params, cfg, gen_cfg, embeds, mask, trailing, pad,
-                        jax.random.PRNGKey(0))
+
+    base = GenerationConfig(
+        max_new_tokens=6,
+        sampling=SamplingParams(do_sample=False, repetition_penalty=1.05),
+        subtalker=SamplingParams(do_sample=False),
+        fused_talker_step=True)
+    outs = {}
+    for kvq in (False, True):
+        gen_cfg = dataclasses.replace(base, kv_quant=kvq)
+        out = generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
+                              pad, jax.random.PRNGKey(1))
+        outs[kvq] = np.asarray(out.codes)
+    assert outs[True].shape == outs[False].shape
+    agree = (outs[True] == outs[False]).mean()
+    assert agree >= 0.6, f"int8-KV vs bf16-KV fused generate agreement {agree}"
 
 
 def test_unchunkable_window_raises():
@@ -312,3 +328,77 @@ def test_kernel_per_row_cache_index_matches_scalar():
         keep = np.arange(S_buf) != s
         np.testing.assert_array_equal(kr_std[:, b, keep], k_std[:, b, keep])
         assert not np.array_equal(kr_std[:, b, s], k_std[:, b, s])
+
+
+def test_kernel_matches_reference_int8_kv():
+    """int8-KV mode: kernel (interpret) vs the same-math ref — identical
+    fold-scale order, quantized fresh-slot writes bit-equal, untouched
+    slots (values AND scales) untouched."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.models.talker import kv_quantize
+    from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
+                                                      talker_step_ref,
+                                                      transpose_cache_in)
+
+    cfg, params = _tiny_talker()
+    B, S_buf, ci = 4, 256, 37
+    k, v, kv_valid, embed, position = _decode_state(cfg, B, S_buf, ci)
+    kf, vf = transpose_cache_in(k), transpose_cache_in(v)
+    kq, ks = kv_quantize(kf)       # fused layout (L, B, Hkv, S) scales
+    vq, vs = kv_quantize(vf)
+
+    lg_k, h_k, kk, vk, ksk, vsk = talker_step_fused_cache(
+        params, cfg, embed, position, ci, kv_valid, kq, vq,
+        attend_len=S_buf, k_scale=ks, v_scale=vs, interpret=True)
+    lg_r, h_r, kr, vr, ksr, vsr = talker_step_ref(
+        params, cfg, embed, position, ci, kv_valid, kq, vq,
+        attend_len=S_buf, k_scale=ks, v_scale=vs)
+
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_r),
+                               rtol=0.02, atol=0.05)
+    np.testing.assert_allclose(np.asarray(h_k, np.float32),
+                               np.asarray(h_r, np.float32),
+                               rtol=0.05, atol=0.02)
+    # fresh slot: quantized ints equal up to one quantum (bf16 K/V from the
+    # kernel and ref can differ by one ulp before quantization)
+    assert np.abs(np.asarray(kk[:, :, :, ci], np.int32)
+                  - np.asarray(kr[:, :, :, ci], np.int32)).max() <= 1
+    np.testing.assert_allclose(np.asarray(ksk[:, :, :, ci]),
+                               np.asarray(ksr[:, :, :, ci]),
+                               rtol=0.02, atol=1e-6)
+    # untouched slots stay untouched — values and scales
+    keep = np.arange(S_buf) != ci
+    np.testing.assert_array_equal(np.asarray(kk)[:, :, :, keep],
+                                  np.asarray(kq)[:, :, :, keep])
+    np.testing.assert_array_equal(np.asarray(ksk)[:, :, :, keep],
+                                  np.asarray(ks)[:, :, :, keep])
+    np.testing.assert_array_equal(np.asarray(vsk)[:, :, :, keep],
+                                  np.asarray(vs)[:, :, :, keep])
+
+
+def test_kernel_int8_kv_tracks_bf16_kv():
+    """int8-KV fused step vs bf16-KV fused step on the same state: argmax
+    codes mostly agree (per-(slot, head) int8 flips near-ties only)."""
+    from qwen3_tts_tpu.models.talker import kv_quantize
+    from qwen3_tts_tpu.ops.pallas.talker_step import (talker_step_fused_cache,
+                                                      transpose_cache_in)
+
+    cfg, params = _tiny_talker()
+    B, S_buf, ci = 4, 256, 37
+    k, v, kv_valid, embed, position = _decode_state(cfg, B, S_buf, ci)
+    kf, vf = transpose_cache_in(k), transpose_cache_in(v)
+    kq, ks = kv_quantize(kf)
+    vq, vs = kv_quantize(vf)
+
+    lg_b, h_b, _, _ = talker_step_fused_cache(
+        params, cfg, embed, position, ci, kv_valid, kf, vf,
+        attend_len=S_buf, interpret=True)
+    lg_q, h_q, _, _, _, _ = talker_step_fused_cache(
+        params, cfg, embed, position, ci, kv_valid, kq, vq,
+        attend_len=S_buf, k_scale=ks, v_scale=vs, interpret=True)
+    agree = (np.asarray(lg_b).argmax(-1) == np.asarray(lg_q).argmax(-1)).mean()
+    assert agree >= 0.75, f"int8-KV vs bf16-KV argmax agreement {agree}"
+    np.testing.assert_allclose(np.asarray(h_q, np.float32),
+                               np.asarray(h_b, np.float32),
+                               rtol=0.25, atol=0.2)
