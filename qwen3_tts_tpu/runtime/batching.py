@@ -1237,6 +1237,24 @@ class ContinuousBatchingEngine:
                 completions += self._process_oldest()
         return completions
 
+    def stage_now(self) -> int:
+        """Dispatch staging prefills for pending requests immediately
+        (normally step() does this).  A latency-sensitive caller about to
+        block on in-flight aux calls this first so the staging program
+        executes behind the in-flight chunk instead of after the block."""
+        return self._stage_pending()
+
+    def sync_in_flight(self) -> List[Completion]:
+        """Sync EVERY in-flight chunk's aux now (blocks until the newest
+        dispatched chunk finishes).  Collapses the one-chunk aux pipeline —
+        a latency caller (first packet pending) uses it to reach fresh
+        frames and leave the device queue idle for an egress program;
+        throughput callers should let step() keep the pipeline depth."""
+        out: List[Completion] = []
+        while self._unprocessed:
+            out.extend(self._process_oldest())
+        return out
+
     def run_until_drained(self, max_ticks: int = 100000) -> List[Completion]:
         out: List[Completion] = []
         for _ in range(max_ticks):

@@ -543,14 +543,27 @@ class TTSServer:
     # -- driving ---------------------------------------------------------
 
     def step(self) -> List[Union[AudioPacket, AudioResult]]:
-        """One engine step + egress. Returns packets and results in order."""
+        """One engine step + egress. Returns packets and results in order.
+
+        While any stream awaits its FIRST packet, the step runs in latency
+        order: stage pending requests now (their prefills execute behind
+        the in-flight chunk), sync the in-flight aux, and vocode due
+        packets into an otherwise-idle device queue BEFORE launching the
+        next chunk — in throughput order the packet wave executes behind
+        the next serve chunk (a whole chunk of queue delay on its wav)."""
+        waiting = False
         if self.first_packet_ticks:
             waiting = any(st.stream and not st.first_sent
                           for st in self._states.values())
             self.engine.tick_cap = (self.first_packet_ticks if waiting
                                     else None)
-        completions = self.engine.step()
         events: List[Union[AudioPacket, AudioResult]] = []
+        if waiting and self.engine._unprocessed:
+            self.engine.stage_now()
+            completions = self.engine.sync_in_flight()
+            events.extend(self._finish_results(completions))
+            events.extend(self._emit_packets())
+        completions = self.engine.step()
         events.extend(self._finish_results(completions))
         events.extend(self._emit_packets())
         return events
