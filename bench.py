@@ -416,6 +416,13 @@ def main():
         slots_fp = int(os.environ.get("BENCH_FP_SLOTS", "16"))
         srv = make_server(slots_fp)
         _mark("streaming-load warmup")
+        # AOT warmup, as a production server does at startup: precompiles
+        # every serve-chunk attend bucket, the staging buckets, and the
+        # packet-egress vocoder shapes.  Without it the measurement pays
+        # multi-second program loads the first time a shape is hit — e.g.
+        # a background stream rolling its attend window into a fresh
+        # bucket mid-join showed up as 8.5 s late-join outliers.
+        srv.warmup()
         for i in range(slots_fp):   # full wave: warms the 16-row staging +
             srv.submit_custom_voice(f"warm{i}", text=text, speaker="vivian",
                                     language="english", stream=True)
@@ -447,6 +454,7 @@ def main():
         # ramp-dominated instead.
         long_frames = 12 * frames_per   # bg streams outlive the whole section
         srv = make_server(slots_fp, max_new_tokens=long_frames + 1)
+        srv.warmup()   # long streams cross several attend buckets mid-run
         bg_next = slots_fp - 1
 
         def bg_submit(i):
@@ -571,20 +579,29 @@ def main():
         p_embeds = (0.02 * jax.random.normal(
             rng, (Bp, Tp, cfg.hidden_size))).astype(dtype)
         p_mask = jnp.ones((Bp, Tp), jnp.int32)
-        _mark("prefill warmup (flash route)")
-        _sync(prefill_run(p_embeds, p_mask))
-        _mark("prefill measured run")
-        t0 = time.time()
-        _sync(prefill_run(p_embeds, p_mask))
-        prefill_ms = (time.time() - t0) * 1e3
-        _mark(f"prefill_ms_t{Tp}={prefill_ms:.0f}; dense warmup")
-        # dense-vs-flash ratio at the same shape (dense materializes the
-        # (B, Hkv, G, T, S) fp32 score tensor per layer)
-        _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
-        t0 = time.time()
-        _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
-        prefill_dense_ms = (time.time() - t0) * 1e3
-        _mark(f"prefill_dense_ms_t{Tp}={prefill_dense_ms:.0f}")
+        # failure-tolerant: a cold cache means a >25 min Mosaic compile on
+        # this image's remote compile service, which intermittently drops
+        # long requests (broken pipe / HTTP 500).  The prefill row is then
+        # omitted rather than crashing the whole bench.
+        try:
+            _mark("prefill warmup (flash route)")
+            _sync(prefill_run(p_embeds, p_mask))
+            _mark("prefill measured run")
+            t0 = time.time()
+            _sync(prefill_run(p_embeds, p_mask))
+            prefill_ms = (time.time() - t0) * 1e3
+            _mark(f"prefill_ms_t{Tp}={prefill_ms:.0f}; dense warmup")
+            # dense-vs-flash ratio at the same shape (dense materializes the
+            # (B, Hkv, G, T, S) fp32 score tensor per layer)
+            _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
+            t0 = time.time()
+            _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
+            prefill_dense_ms = (time.time() - t0) * 1e3
+            _mark(f"prefill_dense_ms_t{Tp}={prefill_dense_ms:.0f}")
+        except Exception as e:   # pragma: no cover - remote-compiler flake
+            prefill_ms = prefill_dense_ms = None
+            _mark(f"prefill section failed ({type(e).__name__}: {e}); "
+                  "row omitted")
 
     extra = {
         "talker_decode_rtf": round(talker_rtf, 3),

@@ -104,6 +104,42 @@ def _bucket_request(prompt, trailing, bucket: int = 16):
     return p, jnp.asarray(mask), t
 
 
+@partial(jax.jit, static_argnames=("B", "ticks", "Q", "F", "T"))
+def _first_packet_extract(aux, rids, B: int, ticks: int, Q: int, F: int,
+                          T: int):
+    """Pull each waiting request's first frames out of a chunk aux that is
+    still ON DEVICE (runtime/batching.py serve_chunk's packed layout),
+    without waiting for its device->host sync.
+
+    aux: flat int32 chunk aux; rids: (N,) int32 engine request ids awaiting
+    their first packet (-1 padding never matches).  A request occupies
+    exactly one slot for a whole chunk (slot reuse installs a fresh rid)
+    and emits contiguous ticks from its install, so its frames are
+    frames[slot, t0:t0+count].  Returns (codes (N, Q, T) int32 — row
+    content in [:count], zeros after, the exact layout `_emit_packets`
+    builds for a first packet (ctx 0) — and counts (N,) int32 clamped to
+    F; 0 = no frames for that rid in this chunk, emit nothing)."""
+    n_bt = B * ticks
+    frames = aux[:n_bt * Q].reshape(B, ticks, Q)
+    emit = aux[n_bt * Q:n_bt * Q + n_bt].reshape(B, ticks) != 0
+    req_id = aux[n_bt * Q + n_bt:n_bt * Q + 2 * n_bt].reshape(B, ticks)
+    m = (req_id[None] == rids[:, None, None]) & emit[None]     # (N, B, ticks)
+    per_slot = m.any(-1)                                       # (N, B)
+    slot = jnp.argmax(per_slot, axis=1)                        # (N,)
+    mt = jnp.take_along_axis(
+        m, slot[:, None, None], axis=1)[:, 0]                  # (N, ticks)
+    t0 = jnp.argmax(mt, axis=1)
+    count = jnp.minimum(jnp.sum(mt, axis=1), F).astype(jnp.int32)
+    rows = frames[slot]                                        # (N, ticks, Q)
+    idx = jnp.clip(t0[:, None] + jnp.arange(F)[None], 0, ticks - 1)
+    sel = jnp.take_along_axis(rows, idx[:, :, None], axis=1)   # (N, F, Q)
+    sel = jnp.where(jnp.arange(F)[None, :, None] < count[:, None, None],
+                    sel, 0)
+    codes = jnp.zeros((rids.shape[0], Q, T), jnp.int32)
+    codes = codes.at[:, :, :F].set(jnp.swapaxes(sel, 1, 2))
+    return codes, count
+
+
 @partial(jax.jit, static_argnames=("cfg", "F", "pcm16"))
 def _vocode_rows_compact(dec_params, cfg, codes, ctx, F: int, pcm16=False):
     """codes (N, Q, C+F) int32; ctx (N,) int32 = context frames per row.
@@ -155,6 +191,7 @@ class TTSServer:
                  metrics=None,
                  output_dtype: str = "float32",
                  vocoder_device=None,
+                 fast_first_packet: bool = True,
                  **engine_kwargs):
         tok = model.speech_tokenizer
         if tok is None or tok.dec_params is None:
@@ -200,6 +237,15 @@ class TTSServer:
         # (pure-throughput serving); non-streaming requests never engage
         # the cap.
         self.first_packet_ticks = int(first_packet_ticks)
+        # first packets vocode straight from the chunk's ON-DEVICE aux
+        # (extract program + the same warm vocoder shape the host path
+        # uses), so their wav device->host transfer overlaps the aux sync
+        # instead of queueing behind it — one fewer serialized round trip
+        # on the multi-tenant first-packet path.  Disabled when the vocoder
+        # lives on another device (the aux is on the serving chip; a
+        # device-to-device bounce would cost more than it saves).
+        self.fast_first_packet = bool(fast_first_packet) and \
+            vocoder_device is None
         self.num_slots = num_slots
         if output_dtype not in ("float32", "int16"):
             raise ValueError(f"unsupported output_dtype {output_dtype!r}")
@@ -256,6 +302,19 @@ class TTSServer:
                 if verbose:
                     print(f"[server.warmup] vocode N={N} F={F} done at "
                           f"{_time.time() - t0:.1f}s", flush=True)
+        if self.fast_first_packet:
+            # the on-device first-packet extract (its vocoder shape is
+            # already covered by the sweep above)
+            B, ticks = self.engine.num_slots, self.engine.ticks_per_sync
+            K = self.engine.state.staged_valid.shape[0]
+            n_bt = B * ticks
+            aux = jnp.zeros((n_bt * self._Q + 3 * n_bt + 2 * K + B,),
+                            jnp.int32)
+            F = self._frame_bucket(1)
+            for N in sorted(set(combos)):
+                jax.block_until_ready(_first_packet_extract(
+                    aux, jnp.full((N,), -1, jnp.int32), B=B, ticks=ticks,
+                    Q=self._Q, F=F, T=self.left_context + F))
         return _time.time() - t0
 
     # -- submission ------------------------------------------------------
@@ -499,6 +558,57 @@ class TTSServer:
                     rid = self._by_user_id.pop(st.request_id)
                     del self._states[rid]
 
+    def _dispatch_fast_first(self, waiting_rids):
+        """Launch the on-device first-packet pipeline (extract from the
+        oldest in-flight chunk's aux -> warm vocoder shape) and return
+        (rids, wav_dev, counts_dev) — all still on device; the caller syncs
+        them AFTER the aux sync so the two transfers overlap."""
+        aux, _ = self.engine._unprocessed[0]
+        N = self._row_bucket(len(waiting_rids))
+        rids = waiting_rids[:N]
+        arr = np.full((N,), -1, np.int32)
+        arr[:len(rids)] = rids
+        F = self._frame_bucket(1)
+        T = self.left_context + F
+        codes, counts = _first_packet_extract(
+            aux, jnp.asarray(arr), B=self.engine.num_slots,
+            ticks=self.engine.ticks_per_sync, Q=self._Q, F=F, T=T)
+        wav = _vocode_rows_compact(
+            self.dec_params, self.dec_cfg, codes,
+            jnp.zeros((N,), jnp.int32), F=F,
+            pcm16=self.output_dtype == "int16")
+        return rids, wav, counts
+
+    def _emit_fast_first(self, rids, wav_dev, counts_dev
+                         ) -> List[AudioPacket]:
+        """Emit the fast-path first packets (after the aux sync, so state
+        bookkeeping — done flags, histories — is current)."""
+        out: List[AudioPacket] = []
+        counts = np.asarray(counts_dev)
+        wav = None
+        for j, rid in enumerate(rids):
+            st = self._states.get(rid)
+            k = int(counts[j])
+            if st is None or st.first_sent or k <= 0:
+                continue
+            if wav is None:
+                wav = np.asarray(wav_dev)
+                if self.output_dtype == "float32":
+                    wav = wav.astype(np.float32)
+            final = st.done and (self._pending(st) == k)
+            out.append(AudioPacket(
+                request_id=st.request_id, wav=wav[j, :k * self.up],
+                sample_rate=self.sample_rate,
+                frame_start=st.emitted, frame_count=k, final=final))
+            st.emitted += k
+            st.first_sent = True
+            self.metrics.count("server.packets")
+            self.metrics.count("server.fast_first_packets")
+            if st.done and self._pending(st) == 0:
+                del self._by_user_id[st.request_id]
+                del self._states[rid]
+        return out
+
     def _finish_results(self, completions) -> List[AudioResult]:
         """Decode non-streaming completions (batched) and flag streaming
         completions for the final packet flush."""
@@ -551,17 +661,25 @@ class TTSServer:
         packets into an otherwise-idle device queue BEFORE launching the
         next chunk — in throughput order the packet wave executes behind
         the next serve chunk (a whole chunk of queue delay on its wav)."""
-        waiting = False
+        waiting_rids = []
         if self.first_packet_ticks:
-            waiting = any(st.stream and not st.first_sent
-                          for st in self._states.values())
-            self.engine.tick_cap = (self.first_packet_ticks if waiting
+            waiting_rids = [rid for rid, st in self._states.items()
+                            if st.stream and not st.first_sent]
+            self.engine.tick_cap = (self.first_packet_ticks if waiting_rids
                                     else None)
+        waiting = bool(waiting_rids)
         events: List[Union[AudioPacket, AudioResult]] = []
         if waiting and self.engine._unprocessed:
+            # on-device first-packet pipeline FIRST: its wav transfer then
+            # overlaps the aux sync below instead of waiting for the host
+            # to rebuild + reupload the same codes
+            fast = (self._dispatch_fast_first(waiting_rids)
+                    if self.fast_first_packet else None)
             self.engine.stage_now()
             completions = self.engine.sync_in_flight()
             events.extend(self._finish_results(completions))
+            if fast is not None:
+                events.extend(self._emit_fast_first(*fast))
             events.extend(self._emit_packets())
         completions = self.engine.step()
         events.extend(self._finish_results(completions))

@@ -470,3 +470,85 @@ def test_server_warmup_then_traffic_identical(cv_model):
         return np.concatenate([p.wav for p in pkts])
 
     np.testing.assert_array_equal(run(True), run(False))
+
+
+def test_first_packet_extract_matches_unpack():
+    """The on-device extract must agree with the host-side unpack: for each
+    waiting rid, the same slot, the same contiguous first frames, the same
+    count (clamped to F)."""
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.runtime.batching import unpack_chunk_aux
+    from qwen3_tts_tpu.runtime.server import _first_packet_extract
+
+    B, ticks, Q, K, F, T = 3, 5, 4, 2, 2, 6
+    rng = np.random.default_rng(0)
+    frames = rng.integers(1, 100, (B, ticks, Q), dtype=np.int32)
+    emit = np.zeros((B, ticks), np.int32)
+    req_id = np.zeros((B, ticks), np.int32)
+    # slot 0: rid 7 emits ticks 1..3 (3 frames -> clamped to F=2)
+    emit[0, 1:4] = 1
+    req_id[0, 1:4] = 7
+    # slot 1: rid 0 emits tick 4 only (rid 0 is a VALID engine rid)
+    emit[1, 4] = 1
+    req_id[1, 4] = 0
+    # slot 2: rid 9 never emits
+    aux = np.concatenate([
+        frames.reshape(-1), emit.reshape(-1), req_id.reshape(-1),
+        np.zeros(B * ticks, np.int32),          # finished
+        np.zeros(2 * K, np.int32),              # staged_valid / staged_rid
+        np.zeros(B, np.int32),                  # t
+    ])
+    rids = jnp.asarray(np.array([7, 0, 9, -1], np.int32))
+    codes, counts = _first_packet_extract(jnp.asarray(aux), rids, B=B,
+                                          ticks=ticks, Q=Q, F=F, T=T)
+    codes, counts = np.asarray(codes), np.asarray(counts)
+    assert counts.tolist() == [2, 1, 0, 0]
+    # rid 7: frames[0, 1:3] transposed into [:, :2]
+    np.testing.assert_array_equal(codes[0, :, :2], frames[0, 1:3].T)
+    np.testing.assert_array_equal(codes[0, :, 2:], 0)
+    # rid 0: frames[1, 4] in column 0
+    np.testing.assert_array_equal(codes[1, :, 0], frames[1, 4])
+    np.testing.assert_array_equal(codes[1, :, 1:], 0)
+    np.testing.assert_array_equal(codes[2:], 0)
+    # cross-check the layout against the host unpack
+    f2, e2, r2, *_ = unpack_chunk_aux(aux, B, ticks, Q, K)
+    np.testing.assert_array_equal(f2, frames)
+    np.testing.assert_array_equal(e2, emit.astype(bool))
+    np.testing.assert_array_equal(r2, req_id)
+
+
+def test_fast_first_packet_matches_host_path(cv_model):
+    """The on-device first-packet pipeline must be invisible in the output:
+    same packets (segmentation, flags, bytes) as the host-side egress, for
+    a multi-request streaming load that overflows the slot count."""
+    from qwen3_tts_tpu.runtime.server import AudioPacket
+
+    texts = ["stream one", "the second longer stream", "third text",
+             "and a fourth"]
+
+    def run(fast):
+        srv = _server(cv_model, num_slots=2, packet_frames=2,
+                      left_context=4, first_packet_ticks=2,
+                      ticks_per_sync=4, fast_first_packet=fast, seed=0)
+        for i, t in enumerate(texts):
+            srv.submit_custom_voice(f"r{i}", text=t, speaker="vivian",
+                                    stream=True)
+        by = {}
+        for e in srv.run_until_drained():
+            if isinstance(e, AudioPacket):
+                by.setdefault(e.request_id, []).append(e)
+        return srv, by
+
+    srv_f, fastp = run(True)
+    srv_h, hostp = run(False)
+    assert srv_f.fast_first_packet and not srv_h.fast_first_packet
+    assert srv_f.metrics.snapshot()["counters"].get(
+        "server.fast_first_packets", 0) > 0
+    assert set(fastp) == set(hostp)
+    for rid in hostp:
+        fa, ho = fastp[rid], hostp[rid]
+        assert [(p.frame_start, p.frame_count, p.final) for p in fa] == \
+               [(p.frame_start, p.frame_count, p.final) for p in ho]
+        for pf, ph in zip(fa, ho):
+            np.testing.assert_array_equal(pf.wav, ph.wav)
