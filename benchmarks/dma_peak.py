@@ -118,19 +118,33 @@ def _shaped_kernel(w_ref, k_ref, v_ref, s1_ref, s2_ref, o_ref, acc):
 
 
 def shaped_bw(L=28, B=32, Hkv=8, Sc=128, S_buf=256, D=128, Wr=4096, H=2048,
-              kv_dtype=jnp.bfloat16):
+              kv_dtype=jnp.bfloat16, contiguous_kv=False):
     """Per grid step: one (Wr, H) int8 weight block (8 MB at 4096x2048) +
     one KV chunk pair in the talker-step kernel's fused layout + two tiny
-    fp32 vectors — the kernel's attention-phase fetch profile."""
+    fp32 vectors — the kernel's attention-phase fetch profile.
+
+    contiguous_kv=True stores the cache chunk-major ((L*nS, B, Hkv, Sc, D):
+    each chunk one contiguous 8.4 MB run) instead of the production fused
+    layout ((L, B, Hkv, S_buf, D): each chunk B*Hkv strided 32 KB runs) —
+    the A/B that prices a chunk-contiguous cache relayout."""
     w = jnp.ones((L, Wr, H), jnp.int8)
-    k = jnp.ones((L, B, Hkv, S_buf, D), kv_dtype)
-    v = jnp.ones((L, B, Hkv, S_buf, D), kv_dtype)
+    nS = S_buf // Sc
+    if contiguous_kv:
+        k = jnp.ones((L * nS, B, Hkv, Sc, D), kv_dtype)
+        v = jnp.ones((L * nS, B, Hkv, Sc, D), kv_dtype)
+        kv_spec = pl.BlockSpec((1, B, Hkv, Sc, D), lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        k = jnp.ones((L, B, Hkv, S_buf, D), kv_dtype)
+        v = jnp.ones((L, B, Hkv, S_buf, D), kv_dtype)
+
+        def kvmap(i):
+            return (i // nS, 0, 0, i % nS, 0)
+
+        kv_spec = pl.BlockSpec((1, B, Hkv, Sc, D), kvmap,
+                               memory_space=pltpu.VMEM)
     s1 = jnp.ones((L, 1, H), jnp.float32)
     s2 = jnp.ones((L, 1, H), jnp.float32)
-    nS = S_buf // Sc
-
-    def kvmap(i):
-        return (i // nS, 0, 0, i % nS, 0)
 
     fn = pl.pallas_call(
         functools.partial(_shaped_kernel),
@@ -138,8 +152,8 @@ def shaped_bw(L=28, B=32, Hkv=8, Sc=128, S_buf=256, D=128, Wr=4096, H=2048,
         in_specs=[
             pl.BlockSpec((1, Wr, H), lambda i: (i // nS, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Hkv, Sc, D), kvmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Hkv, Sc, D), kvmap, memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
             pl.BlockSpec((1, 1, H), lambda i: (i // nS, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, H), lambda i: (i // nS, 0, 0),
@@ -180,9 +194,12 @@ def main():
         bw, nb = stream_bw(total, mb)
         print(f"pure-stream block={mb:>3} MB: {bw:7.1f} GB/s "
               f"({nb / 1e9:.2f} GB)", flush=True)
-    bw, nb = shaped_bw()
-    print(f"kernel-shaped (8MB w + 16.8MB kv/step): {bw:7.1f} GB/s "
-          f"({nb / 1e9:.2f} GB)", flush=True)
+    for S_buf in (256, 1024):
+        for contig in (False, True):
+            bw, nb = shaped_bw(S_buf=S_buf, contiguous_kv=contig)
+            tag = "contig" if contig else "strided"
+            print(f"kernel-shaped S={S_buf:4d} kv={tag}: {bw:7.1f} GB/s "
+                  f"({nb / 1e9:.2f} GB)", flush=True)
     bw, nb = xla_bw(total)
     print(f"xla-reduce: {bw:7.1f} GB/s ({nb / 1e9:.2f} GB)", flush=True)
 
