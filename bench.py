@@ -559,13 +559,16 @@ def main():
         from qwen3_tts_tpu.models.talker import (KVCache, StackDims,
                                                  talker_prefill)
 
-        # T=4096 is where the flash kernel wins 3.2x (DESIGN.md §8c).  The
-        # Mosaic compile of the kernel inside the 28-layer program takes
-        # >25 min on this image's remote compiler the FIRST time —
-        # benchmarks/prefill_precompile.py bakes it into .jax_cache off the
-        # bench clock; with a warm cache this section costs one ~20s
-        # executable load.  BENCH_PREFILL=0 skips; BENCH_PREFILL_T resizes.
-        Bp, Tp = 4, int(os.environ.get("BENCH_PREFILL_T", "4096"))
+        # T=2048 default: the flash route engages at T>=2048, and the
+        # 28-layer T=4096 program's Mosaic compile exceeds what this
+        # image's remote-compile transport sustains (two attempts died
+        # ~30 min in with broken pipes; the kernel-level 3.2x at T=4096 in
+        # DESIGN.md §8c was measured standalone).
+        # benchmarks/prefill_precompile.py bakes the program into
+        # .jax_cache off the bench clock; with a warm cache this section
+        # costs one ~20s executable load.  BENCH_PREFILL=0 skips;
+        # BENCH_PREFILL_T resizes.
+        Bp, Tp = 4, int(os.environ.get("BENCH_PREFILL_T", "2048"))
         dims = StackDims.from_talker(cfg)
 
         @partial(jax.jit, static_argnames=("allow_flash",))
@@ -628,7 +631,7 @@ def main():
     if long_rtf is not None:
         extra["long_rtf_b8_m1024_kvint8"] = round(long_rtf, 2)
     if prefill_ms is not None:
-        Tp = int(os.environ.get("BENCH_PREFILL_T", "4096"))
+        Tp = int(os.environ.get("BENCH_PREFILL_T", "2048"))
         extra["prefill_ms_b4_t%d" % Tp] = round(prefill_ms, 1)
         extra["prefill_dense_ms_b4_t%d" % Tp] = round(prefill_dense_ms, 1)
         extra["prefill_flash_speedup"] = round(prefill_dense_ms / prefill_ms,
