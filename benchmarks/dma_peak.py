@@ -79,7 +79,8 @@ def stream_bw(total_bytes: int, block_mb: float, dtype=jnp.int8):
     esize = jnp.dtype(dtype).itemsize
     lane = 1024
     rows_total = total_bytes // (lane * esize)
-    block_rows = int(block_mb * 1e6) // (lane * esize)
+    # Mosaic wants the block's second-to-last dim divisible by 8
+    block_rows = max(8, (int(block_mb * 1e6) // (lane * esize)) // 8 * 8)
     n = max(1, rows_total // block_rows)
     x = jnp.ones((n * block_rows, lane), dtype)
 
