@@ -2,56 +2,66 @@
 
 Measures the BASELINE.md targets plus the serving/API surfaces (random
 weights — no released checkpoints exist in-image; the compute graph is the
-production one):
+production one).  Sections, in priority order:
 
   a) talker_decode_rtf   — batched talker decode loop only (prefill + per-
-     frame talker step + nested 15-step sub-talker + sampling), B=32.
+     frame talker step + nested 15-step sub-talker + sampling), B=32; plus
+     the roofline situation (mfu / hbm_bw_util / pct_of_dma_floor).
   b) e2e_rtf (HEADLINE)  — (a) plus the full-size 12Hz vocoder decoding the
      generated codes to waveform, B=32.  One frame = 80 ms of audio
      (12.5 Hz codec, configuration...v2.py:148-151).  The waveform ships
      to the host as int16 PCM (converted on device); extra.e2e_compute_rtf
      reports the same run synced on a scalar checksum, isolating chip
      throughput from this environment's ~25 MB/s device tunnel.
-  c) first_packet_p50_ms — p50 wall time to the first audio packet of a
-     batch-1 StreamingSession (talker warmup chunk + first vocoder chunk),
-     the README.md:54 "~97 ms" dual-track claim.
-  d) api_e2e_rtf — the same flagship shape driven through the PUBLIC API
-     (`Qwen3TTSModel.generate_custom_voice`: tokenize → prompt assembly →
-     jitted decode → tokenizer.decode to PCM16) — proves the headline path
-     is the path users get (VERDICT r2 item 1).
-  e) serving_rtf_{N}slots — text-in → audio-out through TTSServer (prompt
-     assembly → staged prefill → continuous batching → batched completion
-     decode), 2N requests × 50 frames.  BENCH_SERVING=0 skips.
-  f) first_packet_p50_ms_load — per-request first-packet latency with ALL
-     16 streaming slots busy (TTSServer packet egress), the multi-tenant
-     counterpart of (c).  BENCH_SERVING=0 skips.
-  g) long_rtf — B=8 × M=1024 frames (82 s of audio per row) through the
-     chunked generator with int8 KV: the regime where attend buckets and
-     KV quantization earn their keep.  BENCH_LONG=0 skips.
-  h) prefill_ms_t4096 — ICL-length prefill (B=4, T=4096) through the flash
-     prefill kernel route.  BENCH_PREFILL=0 skips.
-  i) mfu / hbm_bw_util / pct_of_dma_floor — the measured talker tick
-     situated against peak FLOP/s and the HBM DMA floor
-     (utils/roofline.py; peaks default to v5e, env-overridable).
+  c) engine_only_rtf_{N}slots — frames-only serving through
+     ContinuousBatchingEngine, with a same-window fused-vs-XLA A/B
+     (engine_only_rtf_fused / engine_only_rtf_xla) resolving kernel-vs-
+     window-drift questions inside the artifact itself.
+  d) first_packet_p50_ms_load16 — per-request first-packet latency with all
+     16 streaming slots busy (TTSServer packet egress), plus the measured
+     tunnel round-trip floor (tunnel_rtt_ms) and the number of serialized
+     syncs on the critical path.
+  e) first_packet_ms_latejoin_p50 — one stream joins a steady-state full
+     server; per-join latency BREAKDOWN (submit→staged→first-frame→packet)
+     ships in extras so a regression names its phase.
+  f) prefill_ms_b4_t2048 — ICL-length prefill through the flash kernel
+     route vs the dense route.  Runs only when the persistent compilation
+     cache is known-warm (a marker written by a previous successful run or
+     by benchmarks/prefill_precompile.py) — a cold Mosaic compile of the
+     28-layer flash program exceeds any sane bench budget.
+  g) first_packet_p50_ms — p50 wall time to the first audio packet of a
+     batch-1 StreamingSession, the README.md:54 "~97 ms" dual-track claim.
+  h) api_e2e_rtf — the flagship shape driven through the PUBLIC API
+     (`Qwen3TTSModel.generate_custom_voice`).
+  i) serving_rtf_{N}slots — text-in → audio-out through TTSServer.
+  j) long_rtf — B=8 × M=1024 frames through the chunked generator with
+     int8 KV.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+Un-killable contract: the summary JSON line is (re)printed on stdout after
+EVERY section (last line wins), and again from an atexit/SIGTERM handler —
+a driver timeout can truncate coverage but can no longer erase the run.
+`BENCH_BUDGET_S` (default 900) is an internal wall-clock budget: each
+remaining optional section is skipped (extras mark `skipped_<row> =
+"budget"`) once its estimated cost no longer fits.
+
 Headline `vs_baseline` is e2e_rtf / 10 — the BASELINE.json target of >=10x
 realtime batched synthesis per v5e chip (the reference publishes no RTF
-numbers).  first_packet vs_baseline is 100 ms / p50 (>1 = better than
-target).
+numbers).
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # reuse compiled programs across runs (first compile of the generation
 # program takes minutes on remote-compile TPU services)
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
 
 import jax
 import jax.numpy as jnp
@@ -61,22 +71,78 @@ from qwen3_tts_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-
-def _sync(tree):
-    for x in jax.tree_util.tree_leaves(tree):
-        np.asarray(x)  # D2H forces completion; block_until_ready is
-        # unreliable on the axon backend
-
-
 _T0 = time.time()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+
+
+def _elapsed():
+    return time.time() - _T0
 
 
 def _mark(label):
     # section timestamps on stderr (BENCH_TRACE=0 silences); the JSON line on
     # stdout stays the single driver-parsed artifact
     if os.environ.get("BENCH_TRACE", "1") == "1":
-        print(f"[bench +{time.time() - _T0:7.1f}s] {label}", file=sys.stderr,
+        print(f"[bench +{_elapsed():7.1f}s] {label}", file=sys.stderr,
               flush=True)
+
+
+class Reporter:
+    """Incremental summary emission: after every section the CURRENT full
+    JSON line reprints on stdout (last-one-wins for the driver's parser),
+    and atexit/SIGTERM emit whatever was measured — a timeout can truncate
+    coverage but not erase the run (round 4 lost its entire perf story to
+    exactly that: rc=124, parsed=null)."""
+
+    def __init__(self):
+        self.metric = None
+        self.value = None
+        self.unit = "x_realtime"
+        self.vs_baseline = None
+        self.extra = {}
+        self._emitted_final = False
+        atexit.register(self._atexit)
+        try:
+            signal.signal(signal.SIGTERM, self._sigterm)
+        except (ValueError, OSError):  # non-main thread / exotic platform
+            pass
+
+    def emit(self):
+        if self.metric is None:
+            return
+        print(json.dumps({
+            "metric": self.metric,
+            "value": self.value,
+            "unit": self.unit,
+            "vs_baseline": self.vs_baseline,
+            "extra": self.extra,
+        }), flush=True)
+
+    def _atexit(self):
+        if not self._emitted_final:
+            self.extra.setdefault("truncated_at_s", round(_elapsed(), 1))
+            self.emit()
+
+    def _sigterm(self, signum, frame):
+        self.extra.setdefault("truncated_at_s", round(_elapsed(), 1))
+        self.emit()
+        # re-raise default so the parent's timeout semantics are unchanged
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    def fits(self, row: str, est_s: float) -> bool:
+        """True if `est_s` seconds still fit the internal budget; otherwise
+        mark the row skipped and reprint the summary."""
+        left = BUDGET_S - _elapsed()
+        if left >= est_s:
+            return True
+        _mark(f"SKIP {row}: est {est_s:.0f}s > budget left {left:.0f}s")
+        self.extra[f"skipped_{row}"] = "budget"
+        self.emit()
+        return False
+
+
+REP = Reporter()
 
 
 class _BenchTokenizer:
@@ -88,6 +154,26 @@ class _BenchTokenizer:
         ids = [3 + (ord(c) * 11 + i) % 211 for i, c in enumerate(text)][:48]
         ids += [5] * max(0, 12 - len(ids))
         return {"input_ids": np.asarray([ids], dtype=np.int64)}
+
+
+def _sync(tree):
+    for x in jax.tree_util.tree_leaves(tree):
+        np.asarray(x)  # D2H forces completion; block_until_ready is
+        # unreliable on the axon backend
+
+
+def _tunnel_rtt_ms() -> float:
+    """Median round-trip of one trivial program + D2H sync: the per-sync
+    floor every latency metric on this tunnel is quantized by."""
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    _sync(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        _sync(f(x))
+        ts.append((time.time() - t0) * 1e3)
+    return float(np.median(ts))
 
 
 def _build_api_model(cfg, params, dec_cfg, dec_params, quantized):
@@ -110,13 +196,24 @@ def _build_api_model(cfg, params, dec_cfg, dec_params, quantized):
                          {}, quantized=quantized)
 
 
+def prefill_warm_marker(cfg, quant: str, Bp: int, Tp: int) -> str:
+    """Marker file recording that the flash-prefill program for this shape
+    was successfully compiled into the persistent cache (written by a
+    successful prefill section or by benchmarks/prefill_precompile.py).
+    The bench only attempts the prefill row when the marker exists: a cold
+    Mosaic compile of the 28-layer program takes 25+ minutes on this
+    image's remote compiler and killed round 4's entire artifact."""
+    key = (f"prefill_b{Bp}_t{Tp}_{quant}_L{cfg.num_hidden_layers}"
+           f"_h{cfg.hidden_size}_jax{jax.__version__}")
+    return os.path.join(CACHE_DIR, f".warm_{key}")
+
+
 def main():
     from qwen3_tts_tpu.config import CodecV2DecoderConfig
-    from qwen3_tts_tpu.models.codec12.decoder import decode_frames
+    from qwen3_tts_tpu.models.codec12.decoder import (chunked_decode,
+                                                      decode_frames, to_pcm16)
     from qwen3_tts_tpu.ops.sampling import SamplingParams
     from qwen3_tts_tpu.runtime.generate import GenerationConfig, generate_frames
-    from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
-                                                 StreamingSession)
     from qwen3_tts_tpu.utils.testing import (TALKER_1B7, random_talker_params,
                                              random_vocoder_params)
     from qwen3_tts_tpu.weights import quantize_talker_params
@@ -133,6 +230,7 @@ def main():
     M = int(os.environ.get("BENCH_FRAMES", "64"))  # max_new_tokens
     L = 64                                          # prefill length
     dtype = jnp.bfloat16
+    extra = REP.extra
 
     _mark("start: make params")
     # one jitted program for the whole fabrication: eager per-op dispatch on
@@ -150,12 +248,10 @@ def main():
     # BENCH_KV=int8 additionally quantizes the KV cache (wins at long
     # generations; see docs/DESIGN.md measurements)
     kv_quant = os.environ.get("BENCH_KV", "") in ("1", "int8")
-    # the fused whole-step talker megakernel (requires int8 weights; bf16
-    # or int8 KV) measured 0.89x/0.84x of the XLA step at S=256/1024, B=32
-    # (benchmarks/talker_step_ab.py) and is the public-API default on TPU.
-    # Gate the auto-default on the backend platform like _generation_config:
-    # off-TPU the kernel would run in Pallas interpret mode and produce
-    # misleadingly slow numbers.
+    # the fused whole-step talker megakernel is the public-API default for
+    # int8 loads on TPU (DESIGN.md §8f); gate the auto-default on the
+    # backend platform like _generation_config — off-TPU the kernel would
+    # run in Pallas interpret mode and produce misleadingly slow numbers
     _on_tpu = jax.devices()[0].platform == "tpu"
     fused_step = os.environ.get(
         "BENCH_FUSED_STEP",
@@ -179,11 +275,12 @@ def main():
     trailing = (0.02 * jax.random.normal(rng, (B, 32, cfg.hidden_size))).astype(dtype)
     pad = jnp.zeros((1, 1, cfg.hidden_size), dtype)
 
+    extra["tunnel_rtt_ms"] = round(_tunnel_rtt_ms(), 1)
+    _mark(f"tunnel_rtt_ms={extra['tunnel_rtt_ms']}")
+
     def talker_run(key):
         return generate_frames(params, cfg, gen_cfg, embeds, mask, trailing,
                                pad, key)
-
-    from qwen3_tts_tpu.models.codec12.decoder import chunked_decode, to_pcm16
 
     # audio ships as int16 PCM (the delivery format; converted on device):
     # this environment's TPU tunnel moves ~25 MB/s, so the fp32 waveform
@@ -198,14 +295,13 @@ def main():
         # long generations vocode in chunks with 25-frame left context (the
         # reference's chunked_decode semantics); bf16 activations and a
         # batch-scaled chunk keep the conv stack inside HBM at B=16
-        # (one full-length fp32 program at B=16 x 512 frames needs ~16G)
         chunk = max(50, 1600 // max(1, B))
 
         def vocode(p, codes):
             return to_pcm16(chunked_decode(p, dec_cfg, codes, chunk_size=chunk,
                                            dtype=jnp.bfloat16))
 
-    # ---- (a) talker-only decode RTF ----
+    # ---- (a) talker-only decode RTF + roofline ----
     _mark("talker warmup")
     _sync(talker_run(jax.random.PRNGKey(2)).codes)  # warmup / compile
     _mark("talker measured run")
@@ -217,8 +313,8 @@ def main():
     frames = int(lengths.sum())
     talker_rtf = frames * 0.08 / talker_wall
     _mark(f"talker_rtf={talker_rtf:.1f}")
+    extra["talker_decode_rtf"] = round(talker_rtf, 3)
 
-    # ---- (i) roofline: situate the measured tick against the hardware ----
     from qwen3_tts_tpu.utils.roofline import decode_roofline
 
     ticks = int(lengths.max())
@@ -231,8 +327,15 @@ def main():
         weight_bytes=1 if quant == "int8" else 2,
         kv_bytes=1 if kv_quant else 2,
         fused_subtalker=fused)
+    extra.update({
+        "mfu": round(roof["mfu"], 4),
+        "hbm_bw_util": round(roof["hbm_bw_util"], 4),
+        "pct_of_dma_floor": round(roof["pct_of_dma_floor"], 4),
+        "tick_ms": round(roof["tick_ms"], 3),
+        "dma_floor_ms": round(roof["dma_floor_ms"], 3),
+    })
 
-    # ---- (b) end-to-end RTF: talker + full-size vocoder ----
+    # ---- (b) end-to-end RTF: talker + full-size vocoder (HEADLINE) ----
     codes_bqt = jnp.swapaxes(out.codes, 1, 2)  # (B, Q, T)
     _mark("vocoder warmup")
     _sync(vocode(dec_params, codes_bqt))       # warmup / compile
@@ -246,6 +349,11 @@ def main():
     frames = int(lengths.sum())
     e2e_rtf = frames * 0.08 / e2e_wall
     _mark(f"e2e_rtf={e2e_rtf:.1f}")
+    REP.metric = "e2e_rtf_%s_batch%d%s" % (
+        os.environ.get("BENCH_MODEL", "1b7"), B,
+        "_int8" if quant == "int8" else "")
+    REP.value = round(e2e_rtf, 3)
+    REP.vs_baseline = round(e2e_rtf / 10.0, 3)
 
     # compute-only variant: sync a scalar checksum instead of the waveform,
     # isolating chip throughput from this environment's ~25 MB/s tunnel
@@ -264,37 +372,344 @@ def main():
     frames_c = checksum_run(jax.random.PRNGKey(6))
     e2e_compute_rtf = frames_c * 0.08 / (time.time() - t0)
     _mark(f"e2e_compute_rtf={e2e_compute_rtf:.1f}")
+    extra["e2e_compute_rtf"] = round(e2e_compute_rtf, 3)
+    REP.emit()
 
-    # ---- (c) p50 first-packet latency, streaming session, B=1 ----
-    Bs, Ls = 1, 48
-    s_embeds = (0.02 * jax.random.normal(rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
-    s_mask = jnp.ones((Bs, Ls), jnp.int32)
-    s_trailing = (0.02 * jax.random.normal(rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
-    _mark("first-packet session")
-    # 16 frames suffice: the metric is the FIRST packet's latency; fewer
-    # chunk shapes = fewer one-time program loads on the remote service
-    # (measured ~22 s per (chunk, attend) shape pair at 1.7B)
-    fp_cfg = GenerationConfig(
-        max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
-        subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-        kv_quant=kv_quant, fused_talker_step=fused_step)
-    session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
-                               StreamingConfig())
-    iters = int(os.environ.get("BENCH_FP_ITERS", "5"))
-    latencies = []
-    for i in range(iters + 1):  # iter 0 = compile warmup
-        _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,
-                                      jax.random.PRNGKey(5 + i))
-        if i > 0:
-            latencies.append(first * 1000.0)
-    p50_ms = float(np.median(latencies))
-    _mark(f"first_packet_p50_ms={p50_ms:.1f}")
+    # ---- (c) engine-only serving + fused-vs-XLA A/B ----
+    slots = int(os.environ.get("BENCH_SLOTS", "32"))
+    frames_per = 50
+    if (os.environ.get("BENCH_SERVING", "1") == "1"
+            and REP.fits("engine_only", 120)):
+        from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
+                                                    Request)
 
-    # ---- (d) API-path e2e: generate_custom_voice on the same shape ----
-    api_rtf = None
-    if os.environ.get("BENCH_API", "1") == "1":
+        def eng_cfg_for(fused_step_flag):
+            return GenerationConfig(
+                max_new_tokens=frames_per + 1, sampling=gen_cfg.sampling,
+                subtalker=gen_cfg.subtalker, fused_subtalker=fused,
+                kv_quant=kv_quant, fused_talker_step=fused_step_flag)
+
+        def make_eng_req(i):
+            return Request(
+                request_id=i,
+                inputs_embeds=(0.02 * jax.random.normal(
+                    jax.random.fold_in(rng, i),
+                    (1, L, cfg.hidden_size))).astype(dtype),
+                attn_mask=jnp.ones((1, L), jnp.int32),
+                trailing=jnp.zeros((1, 16, cfg.hidden_size), dtype),
+                trailing_len=16, tts_pad=pad, max_frames=frames_per)
+
+        n_req = 2 * slots
+
+        def engine_rtf_for(fused_step_flag, reps=2):
+            engine = ContinuousBatchingEngine(
+                params, cfg, eng_cfg_for(fused_step_flag), num_slots=slots,
+                max_len=L + frames_per + 8, max_trailing=32, dtype=dtype,
+                ticks_per_sync=50, prefill_bucket=L, chunk_ramp=())
+            label = "fused" if fused_step_flag else "xla"
+            _mark(f"engine-only warmup ({label})")
+            for i in range(slots):
+                engine.submit(make_eng_req(10_000 + i))
+            engine.run_until_drained()
+            _mark(f"engine-only measured run ({label})")
+            best = 0.0
+            for rep in range(reps):
+                for i in range(n_req):
+                    engine.submit(make_eng_req(1000 * rep + i))
+                t0 = time.time()
+                done_e = engine.run_until_drained()
+                wall = time.time() - t0
+                best = max(best, sum(c.codes.shape[0] for c in done_e)
+                           * 0.08 / wall)
+            del engine
+            return best
+
+        engine_rtf = engine_rtf_for(fused_step)
+        extra["engine_only_rtf_%dslots" % slots] = round(engine_rtf, 2)
+        extra["engine_only_rtf_" + ("fused" if fused_step else "xla")] = \
+            round(engine_rtf, 2)
+        _mark(f"engine_only_rtf_{slots}slots={engine_rtf:.1f}")
+        REP.emit()
+        # same-window A/B against the other step implementation (fused needs
+        # int8 params; with int8 KV the XLA path serves the same config)
+        if (quant == "int8" and _on_tpu
+                and os.environ.get("BENCH_ENGINE_AB", "1") == "1"
+                and REP.fits("engine_ab", 110)):
+            other = engine_rtf_for(not fused_step)
+            extra["engine_only_rtf_" + ("xla" if fused_step else "fused")] = \
+                round(other, 2)
+            _mark(f"engine-only A/B: other impl {other:.1f}")
+            REP.emit()
+
+    # ---- model + server builder (sections d/e/h/i) ----
+    model = None
+    if os.environ.get("BENCH_API", "1") == "1" or \
+            os.environ.get("BENCH_SERVING", "1") == "1":
         model = _build_api_model(cfg, params, dec_cfg, dec_params,
                                  "int8" if quant == "int8" else None)
+    text = "a serving benchmark sentence of ordinary length"
+
+    def make_server(n_slots, max_new_tokens=frames_per + 1, **kw):
+        from qwen3_tts_tpu.runtime.server import TTSServer
+
+        # PCM16 delivery (the serving format): fp32 audio D2H at 2*slots
+        # x 50 frames is ~25 MB — an entire second on this tunnel
+        return TTSServer(model, num_slots=n_slots,
+                         max_new_tokens=max_new_tokens,
+                         prefill_bucket=64, max_trailing=64,
+                         ticks_per_sync=25, seed=0,
+                         output_dtype="int16", **kw)
+
+    # ---- (d) first-packet latency with every slot busy ----
+    slots_fp = int(os.environ.get("BENCH_FP_SLOTS", "16"))
+    if (os.environ.get("BENCH_SERVING", "1") == "1"
+            and REP.fits("fp_load", 110)):
+        from qwen3_tts_tpu.runtime.server import AudioPacket
+
+        srv = make_server(slots_fp)
+        _mark("streaming-load warmup")
+        # AOT warmup, as a production server does at startup: precompiles
+        # every serve-chunk attend bucket, the staging buckets, and the
+        # packet-egress vocoder shapes.  Without it the measurement pays
+        # multi-second program loads the first time a shape is hit.
+        srv.warmup()
+        for i in range(slots_fp):   # full wave: warms the 16-row staging +
+            srv.submit_custom_voice(f"warm{i}", text=text, speaker="vivian",
+                                    language="english", stream=True)
+        srv.run_until_drained()
+        _mark("streaming-load measured run")
+        aux_syncs0 = srv.metrics.snapshot()["timings"].get(
+            "engine.aux_sync_s", {}).get("count", 0)
+        aux_syncs1 = aux_syncs0
+        t_submit = {}
+        first_ms = {}
+        steps_to_first = 0
+        for i in range(slots_fp):
+            t_submit[i] = time.time()
+            srv.submit_custom_voice(i, text=text, speaker="vivian",
+                                    language="english", stream=True)
+        for _ in range(100000):
+            evs = srv.step()
+            if not first_ms:
+                steps_to_first += 1
+            for ev in evs:
+                if (isinstance(ev, AudioPacket)
+                        and ev.request_id not in first_ms
+                        and ev.frame_count > 0):
+                    first_ms[ev.request_id] = (
+                        time.time() - t_submit[ev.request_id]) * 1e3
+            if len(first_ms) == slots_fp:
+                aux_syncs1 = srv.metrics.snapshot()["timings"].get(
+                    "engine.aux_sync_s", {}).get("count", 0)
+            if not srv.busy:
+                break
+        fp_load_p50 = float(np.median(list(first_ms.values())))
+        extra["first_packet_p50_ms_load%d" % slots_fp] = round(fp_load_p50, 1)
+        # floor math: serialized syncs observed on the cohort's critical
+        # path (aux syncs until every first packet was out + the fast-path
+        # wav sync per emitting step), against the measured per-sync RTT
+        extra["first_packet_load_aux_syncs"] = int(aux_syncs1 - aux_syncs0)
+        extra["first_packet_load_steps"] = int(steps_to_first)
+        _mark(f"first_packet_p50_ms_load{slots_fp}={fp_load_p50:.1f} "
+              f"(aux_syncs={extra['first_packet_load_aux_syncs']}, "
+              f"rtt={extra['tunnel_rtt_ms']}ms)")
+        srv.run_until_drained()
+        REP.emit()
+
+    # ---- (e) late-joiner first packet with per-phase breakdown ----
+    if (os.environ.get("BENCH_SERVING", "1") == "1"
+            and REP.fits("latejoin", 170)):
+        from qwen3_tts_tpu.runtime.server import AudioPacket
+
+        # bg streams keep the engine mid-chunk (steady state, ramp
+        # exhausted); 6x50 frames outlive the joins while keeping the
+        # attend-bucket set (and its warmup loads) small
+        long_frames = 6 * frames_per
+        srv = make_server(slots_fp, max_new_tokens=long_frames + 1)
+        srv.warmup()   # long streams cross attend buckets mid-run
+        srv.engine.trace_enabled = True
+        bg_next = slots_fp - 1
+
+        def bg_submit(i):
+            srv.submit_custom_voice(f"bg{i}", text=text, speaker="vivian",
+                                    language="english", stream=True,
+                                    max_frames=long_frames)
+
+        def bg_refill(events):
+            # hold occupancy: a finished bg stream is replaced immediately
+            nonlocal bg_next
+            for ev in events:
+                if (isinstance(ev, AudioPacket) and ev.final
+                        and str(ev.request_id).startswith("bg")):
+                    bg_submit(bg_next)
+                    bg_next += 1
+            return events
+
+        _mark("late-join steady state")
+        for i in range(slots_fp - 1):
+            bg_submit(i)
+        seen_first = set()
+        for _ in range(100000):   # drive to steady state (all bg streaming)
+            for ev in bg_refill(srv.step()):
+                if isinstance(ev, AudioPacket) and ev.frame_count > 0:
+                    seen_first.add(ev.request_id)
+            if len(seen_first) >= slots_fp - 1:
+                break
+        # Warmup joiner: the first join at this occupancy can trigger a
+        # fresh compile of the full-occupancy tick program; keep that
+        # one-time cost out of the measured joins.
+        srv.submit_custom_voice("joinwarm", text=text, speaker="vivian",
+                                language="english", stream=True,
+                                max_frames=25)
+        for _ in range(100000):
+            hit = [ev for ev in bg_refill(srv.step())
+                   if isinstance(ev, AudioPacket)
+                   and ev.request_id == "joinwarm" and ev.frame_count > 0]
+            if hit:
+                break
+        _mark("late-join measured joins")
+        srv.engine.trace.clear()
+        join_ms = []
+        traces = []
+        for k in range(5):
+            t0 = time.time()
+            srv.submit_custom_voice(f"join{k}", text=text, speaker="vivian",
+                                    language="english", stream=True,
+                                    max_frames=25)
+            for _ in range(100000):
+                hit = [ev for ev in bg_refill(srv.step())
+                       if isinstance(ev, AudioPacket)
+                       and ev.request_id == f"join{k}" and ev.frame_count > 0]
+                if hit:
+                    join_ms.append((time.time() - t0) * 1e3)
+                    tr = srv.first_packet_trace(f"join{k}")
+                    if tr and "first_packet" in tr:
+                        traces.append(tr)
+                    break
+            else:
+                raise RuntimeError(f"late joiner {k} never produced audio")
+        for i in range(bg_next):
+            srv.cancel(f"bg{i}")
+        srv.run_until_drained()
+        fp_join_p50 = float(np.median(join_ms))
+        extra["first_packet_ms_latejoin_p50"] = round(fp_join_p50, 1)
+        extra["latejoin_samples_ms"] = [round(x) for x in join_ms]
+        if traces:
+            def med(a, b):
+                vals = [(t[b] - t[a]) * 1e3 for t in traces
+                        if a in t and b in t]
+                return round(float(np.median(vals)), 1) if vals else None
+
+            extra["latejoin_breakdown_ms"] = {
+                "submit_to_staged": med("submit", "staged"),
+                "staged_to_first_frame": med("staged", "first_frame"),
+                "first_frame_to_packet": med("first_frame", "first_packet"),
+            }
+        _mark(f"first_packet_ms_latejoin_p50={fp_join_p50:.1f} "
+              f"({', '.join('%.0f' % x for x in join_ms)}) "
+              f"breakdown={extra.get('latejoin_breakdown_ms')}")
+        REP.emit()
+
+    # ---- (f) long prefill through the flash kernel route ----
+    prefill_on = os.environ.get("BENCH_PREFILL", "1") == "1"
+    Bp, Tp = 4, int(os.environ.get("BENCH_PREFILL_T", "2048"))
+    marker = prefill_warm_marker(cfg, quant, Bp, Tp)
+    if prefill_on and not os.path.exists(marker) and \
+            os.environ.get("BENCH_PREFILL_FORCE", "0") != "1":
+        # cold persistent cache: the flash route's Mosaic compile takes 25+
+        # minutes on this image's remote compiler — run
+        # benchmarks/prefill_precompile.py (off the bench clock) first
+        _mark("SKIP prefill: persistent cache not known-warm "
+              f"(marker {os.path.basename(marker)} absent); run "
+              "benchmarks/prefill_precompile.py")
+        extra["skipped_prefill"] = "cold_cache"
+        prefill_on = False
+        REP.emit()
+    if prefill_on and REP.fits("prefill", 100):
+        from functools import partial
+
+        from qwen3_tts_tpu.models.talker import (KVCache, StackDims,
+                                                 talker_prefill)
+
+        dims = StackDims.from_talker(cfg)
+
+        @partial(jax.jit, static_argnames=("allow_flash",))
+        def prefill_run(e, m, allow_flash=True):
+            cache = KVCache.zeros(cfg.num_hidden_layers, Bp, Tp + 8,
+                                  dims.kv_heads, dims.head_dim, dtype=dtype)
+            logits, _, _ = talker_prefill(params, cfg, e, m, cache,
+                                          allow_flash=allow_flash)
+            return jnp.sum(logits.astype(jnp.float32))
+
+        p_embeds = (0.02 * jax.random.normal(
+            rng, (Bp, Tp, cfg.hidden_size))).astype(dtype)
+        p_mask = jnp.ones((Bp, Tp), jnp.int32)
+        # failure-tolerant: the remote compile service intermittently drops
+        # long requests (broken pipe / HTTP 500); the prefill row is then
+        # omitted rather than crashing the whole bench
+        try:
+            _mark("prefill warmup (flash route)")
+            _sync(prefill_run(p_embeds, p_mask))
+            _mark("prefill measured run")
+            t0 = time.time()
+            _sync(prefill_run(p_embeds, p_mask))
+            prefill_ms = (time.time() - t0) * 1e3
+            _mark(f"prefill_ms_t{Tp}={prefill_ms:.0f}; dense warmup")
+            # dense-vs-flash ratio at the same shape (dense materializes the
+            # (B, Hkv, G, T, S) fp32 score tensor per layer)
+            _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
+            t0 = time.time()
+            _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
+            prefill_dense_ms = (time.time() - t0) * 1e3
+            _mark(f"prefill_dense_ms_t{Tp}={prefill_dense_ms:.0f}")
+            extra["prefill_ms_b4_t%d" % Tp] = round(prefill_ms, 1)
+            extra["prefill_dense_ms_b4_t%d" % Tp] = round(prefill_dense_ms, 1)
+            extra["prefill_flash_speedup"] = round(
+                prefill_dense_ms / prefill_ms, 2)
+            with open(marker, "w") as f:
+                f.write(json.dumps({"at": time.time()}))
+        except Exception as e:   # pragma: no cover - remote-compiler flake
+            _mark(f"prefill section failed ({type(e).__name__}: {e}); "
+                  "row omitted")
+            extra["skipped_prefill"] = f"error:{type(e).__name__}"
+        REP.emit()
+
+    # ---- (g) p50 first-packet latency, streaming session, B=1 ----
+    if REP.fits("fp_session", 150):
+        from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
+                                                     StreamingSession)
+
+        Bs, Ls = 1, 48
+        s_embeds = (0.02 * jax.random.normal(
+            rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
+        s_mask = jnp.ones((Bs, Ls), jnp.int32)
+        s_trailing = (0.02 * jax.random.normal(
+            rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
+        _mark("first-packet session")
+        # 16 frames suffice: the metric is the FIRST packet's latency; fewer
+        # chunk shapes = fewer one-time program loads on the remote service
+        fp_cfg = GenerationConfig(
+            max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
+            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
+            kv_quant=kv_quant, fused_talker_step=fused_step)
+        session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
+                                   StreamingConfig())
+        iters = int(os.environ.get("BENCH_FP_ITERS", "5"))
+        latencies = []
+        for i in range(iters + 1):  # iter 0 = compile warmup
+            _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,
+                                          jax.random.PRNGKey(5 + i))
+            if i > 0:
+                latencies.append(first * 1000.0)
+        p50_ms = float(np.median(latencies))
+        _mark(f"first_packet_p50_ms={p50_ms:.1f}")
+        extra["first_packet_p50_ms"] = round(p50_ms, 1)
+        extra["first_packet_latencies_ms"] = [round(x, 1) for x in latencies]
+        extra["first_packet_vs_baseline"] = round(100.0 / p50_ms, 3)
+        REP.emit()
+
+    # ---- (h) API-path e2e: generate_custom_voice on the same shape ----
+    if os.environ.get("BENCH_API", "1") == "1" and REP.fits("api", 100):
         texts = ["an api path benchmark sentence of ordinary length %02d" % i
                  for i in range(B)]
         api_kw = dict(text=texts, speaker="vivian", language="english",
@@ -316,37 +731,19 @@ def main():
         api_rtf = audio_s / api_wall
         tok.decode = orig_decode
         _mark(f"api_e2e_rtf={api_rtf:.1f}")
+        extra["api_e2e_rtf"] = round(api_rtf, 2)
+        extra["api_vs_core"] = round(api_rtf / e2e_rtf, 3)
+        REP.emit()
 
-    # ---- (e)+(f) serving: text -> audio through TTSServer ----
-    serving_rtf = None
-    fp_load_p50 = None
-    slots = int(os.environ.get("BENCH_SLOTS", "32"))
-    if os.environ.get("BENCH_SERVING", "1") == "1":
-        from qwen3_tts_tpu.runtime.server import (AudioPacket, AudioResult,
-                                                  TTSServer)
+    # ---- (i) serving: text -> audio through TTSServer ----
+    if (os.environ.get("BENCH_SERVING", "1") == "1"
+            and REP.fits("serving", 110)):
+        from qwen3_tts_tpu.runtime.server import AudioResult
 
-        model = _build_api_model(cfg, params, dec_cfg, dec_params,
-                                 "int8" if quant == "int8" else None)
-        frames_per = 50
-
-        def make_server(n_slots, max_new_tokens=frames_per + 1, **kw):
-            # PCM16 delivery (the serving format): fp32 audio D2H at 2*slots
-            # x 50 frames is ~25 MB — an entire second on this tunnel
-            return TTSServer(model, num_slots=n_slots,
-                             max_new_tokens=max_new_tokens,
-                             prefill_bucket=64, max_trailing=64,
-                             ticks_per_sync=25, seed=0,
-                             output_dtype="int16", **kw)
-
-        # (e) throughput: 2*slots non-streaming requests.  Warmup = the
-        # exact measured pattern once: completion waves decode in pow2
-        # buckets, so a smaller warmup leaves decode shapes cold and the
-        # measured run pays their compiles.  chunk_ramp=() — the cold-start
-        # latency ramp would restart on every measured rep (engine idles
-        # between reps) and costs ~4 extra host syncs that a throughput
-        # deployment wouldn't pay; the ramp stays on for section (f).
+        # chunk_ramp=() — the cold-start latency ramp would restart on every
+        # measured rep (engine idles between reps) and costs ~4 extra host
+        # syncs a throughput deployment wouldn't pay
         srv = make_server(slots, chunk_ramp=())
-        text = "a serving benchmark sentence of ordinary length"
         n_req = 2 * slots
         _mark("serving warmup")
         for i in range(n_req):
@@ -370,154 +767,12 @@ def main():
             serving_audio_mb = sum(r.wav.nbytes for r in done) / 1e6
         _mark(f"serving_rtf_{slots}slots={serving_rtf:.1f} "
               f"({serving_audio_mb:.1f} MB PCM over the tunnel)")
+        extra["serving_rtf_%dslots" % slots] = round(serving_rtf, 2)
+        extra["serving_audio_mb"] = round(serving_audio_mb, 1)
+        REP.emit()
 
-        # (e2) engine-only serving at `slots` (frames, no vocoder): the
-        # scheduler-vs-decode-ceiling number comparable across rounds
-        from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
-                                                    Request)
-
-        eng_cfg = GenerationConfig(
-            max_new_tokens=frames_per + 1, sampling=gen_cfg.sampling,
-            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-            kv_quant=kv_quant, fused_talker_step=fused_step)
-        engine = ContinuousBatchingEngine(
-            params, cfg, eng_cfg, num_slots=slots,
-            max_len=L + frames_per + 8, max_trailing=32, dtype=dtype,
-            ticks_per_sync=50, prefill_bucket=L, chunk_ramp=())
-
-        def make_eng_req(i):
-            return Request(
-                request_id=i,
-                inputs_embeds=(0.02 * jax.random.normal(
-                    jax.random.fold_in(rng, i),
-                    (1, L, cfg.hidden_size))).astype(dtype),
-                attn_mask=jnp.ones((1, L), jnp.int32),
-                trailing=jnp.zeros((1, 16, cfg.hidden_size), dtype),
-                trailing_len=16, tts_pad=pad, max_frames=frames_per)
-
-        _mark("engine-only warmup")
-        for i in range(slots):
-            engine.submit(make_eng_req(10_000 + i))
-        engine.run_until_drained()
-        _mark("engine-only measured run")
-        engine_rtf = 0.0
-        for rep in range(2):
-            for i in range(n_req):
-                engine.submit(make_eng_req(1000 * rep + i))
-            t0 = time.time()
-            done_e = engine.run_until_drained()
-            wall = time.time() - t0
-            engine_rtf = max(engine_rtf,
-                             sum(c.codes.shape[0] for c in done_e)
-                             * 0.08 / wall)
-        _mark(f"engine_only_rtf_{slots}slots={engine_rtf:.1f}")
-
-        # (f) first-packet latency with every slot busy (streaming egress)
-        slots_fp = int(os.environ.get("BENCH_FP_SLOTS", "16"))
-        srv = make_server(slots_fp)
-        _mark("streaming-load warmup")
-        # AOT warmup, as a production server does at startup: precompiles
-        # every serve-chunk attend bucket, the staging buckets, and the
-        # packet-egress vocoder shapes.  Without it the measurement pays
-        # multi-second program loads the first time a shape is hit — e.g.
-        # a background stream rolling its attend window into a fresh
-        # bucket mid-join showed up as 8.5 s late-join outliers.
-        srv.warmup()
-        for i in range(slots_fp):   # full wave: warms the 16-row staging +
-            srv.submit_custom_voice(f"warm{i}", text=text, speaker="vivian",
-                                    language="english", stream=True)
-        srv.run_until_drained()
-        _mark("streaming-load measured run")
-        t_submit = {}
-        first_ms = {}
-        for i in range(slots_fp):
-            t_submit[i] = time.time()
-            srv.submit_custom_voice(i, text=text, speaker="vivian",
-                                    language="english", stream=True)
-        for _ in range(100000):
-            for ev in srv.step():
-                if (isinstance(ev, AudioPacket)
-                        and ev.request_id not in first_ms
-                        and ev.frame_count > 0):
-                    first_ms[ev.request_id] = (
-                        time.time() - t_submit[ev.request_id]) * 1e3
-            if not srv.busy:
-                break
-        fp_load_p50 = float(np.median(list(first_ms.values())))
-        _mark(f"first_packet_p50_ms_load{slots_fp}={fp_load_p50:.1f}")
-
-        # (f2) late-joiner first packet: slots_fp-1 long streams keep the
-        # engine mid-chunk (steady state, ramp exhausted), then one new
-        # stream joins — ITS first-packet latency is what the server's
-        # first_packet_ticks cap bounds (without it the joiner waits out a
-        # full ticks_per_sync chunk).  The (f) cohort-start metric above is
-        # ramp-dominated instead.
-        long_frames = 12 * frames_per   # bg streams outlive the whole section
-        srv = make_server(slots_fp, max_new_tokens=long_frames + 1)
-        srv.warmup()   # long streams cross several attend buckets mid-run
-        bg_next = slots_fp - 1
-
-        def bg_submit(i):
-            srv.submit_custom_voice(f"bg{i}", text=text, speaker="vivian",
-                                    language="english", stream=True,
-                                    max_frames=long_frames)
-
-        def bg_refill(events):
-            # hold occupancy: a finished bg stream is replaced immediately
-            nonlocal bg_next
-            for ev in events:
-                if (isinstance(ev, AudioPacket) and ev.final
-                        and str(ev.request_id).startswith("bg")):
-                    bg_submit(bg_next)
-                    bg_next += 1
-            return events
-
-        for i in range(slots_fp - 1):
-            bg_submit(i)
-        seen_first = set()
-        for _ in range(100000):   # drive to steady state (all bg streaming)
-            for ev in bg_refill(srv.step()):
-                if isinstance(ev, AudioPacket) and ev.frame_count > 0:
-                    seen_first.add(ev.request_id)
-            if len(seen_first) >= slots_fp - 1:
-                break
-        # Warmup joiner: the first join at this occupancy can trigger a
-        # fresh compile of the (slots_fp)-active tick program; keep that
-        # one-time cost out of the measured joins.
-        srv.submit_custom_voice("joinwarm", text=text, speaker="vivian",
-                                language="english", stream=True,
-                                max_frames=25)
-        for _ in range(100000):
-            hit = [ev for ev in bg_refill(srv.step())
-                   if isinstance(ev, AudioPacket)
-                   and ev.request_id == "joinwarm" and ev.frame_count > 0]
-            if hit:
-                break
-        join_ms = []
-        for k in range(5):
-            t0 = time.time()
-            srv.submit_custom_voice(f"join{k}", text=text, speaker="vivian",
-                                    language="english", stream=True,
-                                    max_frames=25)
-            for _ in range(100000):
-                hit = [ev for ev in bg_refill(srv.step())
-                       if isinstance(ev, AudioPacket)
-                       and ev.request_id == f"join{k}" and ev.frame_count > 0]
-                if hit:
-                    join_ms.append((time.time() - t0) * 1e3)
-                    break
-            else:
-                raise RuntimeError(f"late joiner {k} never produced audio")
-        for i in range(bg_next):
-            srv.cancel(f"bg{i}")
-        srv.run_until_drained()
-        fp_join_p50 = float(np.median(join_ms))
-        _mark(f"first_packet_ms_latejoin_p50={fp_join_p50:.1f} "
-              f"({', '.join('%.0f' % x for x in join_ms)})")
-
-    # ---- (g) long generation: chunked path + int8 KV ----
-    long_rtf = None
-    if os.environ.get("BENCH_LONG", "1") == "1":
+    # ---- (j) long generation: chunked path + int8 KV ----
+    if os.environ.get("BENCH_LONG", "1") == "1" and REP.fits("long", 300):
         from qwen3_tts_tpu.runtime.generate import generate_frames_chunked
 
         Bl = int(os.environ.get("BENCH_LONG_BATCH", "8"))
@@ -545,107 +800,13 @@ def main():
         lwall = time.time() - t0
         long_rtf = int(np.asarray(lout.lengths).sum()) * 0.08 / lwall
         _mark(f"long_rtf={long_rtf:.1f}")
-
-    # ---- (h) long prefill through the flash kernel route ----
-    # default OFF: the Mosaic compile of the flash kernel inside the
-    # 28-layer prefill program exceeds 45 min on this image's remote
-    # compiler (standalone kernel: 265 s) — run with BENCH_PREFILL=1 once
-    # /root/repo/.jax_cache carries the program (docs/ROADMAP.md)
-    prefill_ms = None
-    prefill_dense_ms = None
-    if os.environ.get("BENCH_PREFILL", "1") == "1":
-        from functools import partial
-
-        from qwen3_tts_tpu.models.talker import (KVCache, StackDims,
-                                                 talker_prefill)
-
-        # T=2048 default: the flash route engages at T>=2048, and the
-        # 28-layer T=4096 program's Mosaic compile exceeds what this
-        # image's remote-compile transport sustains (two attempts died
-        # ~30 min in with broken pipes; the kernel-level 3.2x at T=4096 in
-        # DESIGN.md §8c was measured standalone).
-        # benchmarks/prefill_precompile.py bakes the program into
-        # .jax_cache off the bench clock; with a warm cache this section
-        # costs one ~20s executable load.  BENCH_PREFILL=0 skips;
-        # BENCH_PREFILL_T resizes.
-        Bp, Tp = 4, int(os.environ.get("BENCH_PREFILL_T", "2048"))
-        dims = StackDims.from_talker(cfg)
-
-        @partial(jax.jit, static_argnames=("allow_flash",))
-        def prefill_run(e, m, allow_flash=True):
-            cache = KVCache.zeros(cfg.num_hidden_layers, Bp, Tp + 8,
-                                  dims.kv_heads, dims.head_dim, dtype=dtype)
-            logits, _, _ = talker_prefill(params, cfg, e, m, cache,
-                                          allow_flash=allow_flash)
-            return jnp.sum(logits.astype(jnp.float32))
-
-        p_embeds = (0.02 * jax.random.normal(
-            rng, (Bp, Tp, cfg.hidden_size))).astype(dtype)
-        p_mask = jnp.ones((Bp, Tp), jnp.int32)
-        # failure-tolerant: a cold cache means a >25 min Mosaic compile on
-        # this image's remote compile service, which intermittently drops
-        # long requests (broken pipe / HTTP 500).  The prefill row is then
-        # omitted rather than crashing the whole bench.
-        try:
-            _mark("prefill warmup (flash route)")
-            _sync(prefill_run(p_embeds, p_mask))
-            _mark("prefill measured run")
-            t0 = time.time()
-            _sync(prefill_run(p_embeds, p_mask))
-            prefill_ms = (time.time() - t0) * 1e3
-            _mark(f"prefill_ms_t{Tp}={prefill_ms:.0f}; dense warmup")
-            # dense-vs-flash ratio at the same shape (dense materializes the
-            # (B, Hkv, G, T, S) fp32 score tensor per layer)
-            _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
-            t0 = time.time()
-            _sync(prefill_run(p_embeds, p_mask, allow_flash=False))
-            prefill_dense_ms = (time.time() - t0) * 1e3
-            _mark(f"prefill_dense_ms_t{Tp}={prefill_dense_ms:.0f}")
-        except Exception as e:   # pragma: no cover - remote-compiler flake
-            prefill_ms = prefill_dense_ms = None
-            _mark(f"prefill section failed ({type(e).__name__}: {e}); "
-                  "row omitted")
-
-    extra = {
-        "talker_decode_rtf": round(talker_rtf, 3),
-        "e2e_compute_rtf": round(e2e_compute_rtf, 3),
-        "first_packet_p50_ms": round(p50_ms, 1),
-        "first_packet_latencies_ms": [round(x, 1) for x in latencies],
-        "first_packet_vs_baseline": round(100.0 / p50_ms, 3),
-        "mfu": round(roof["mfu"], 4),
-        "hbm_bw_util": round(roof["hbm_bw_util"], 4),
-        "pct_of_dma_floor": round(roof["pct_of_dma_floor"], 4),
-        "tick_ms": round(roof["tick_ms"], 3),
-        "dma_floor_ms": round(roof["dma_floor_ms"], 3),
-    }
-    if api_rtf is not None:
-        extra["api_e2e_rtf"] = round(api_rtf, 2)
-        extra["api_vs_core"] = round(api_rtf / e2e_rtf, 3)
-    if serving_rtf is not None:
-        extra["serving_rtf_%dslots" % slots] = round(serving_rtf, 2)
-        extra["serving_audio_mb"] = round(serving_audio_mb, 1)
-        extra["engine_only_rtf_%dslots" % slots] = round(engine_rtf, 2)
-    if fp_load_p50 is not None:
-        extra["first_packet_p50_ms_load%d" % slots_fp] = round(fp_load_p50, 1)
-        extra["first_packet_ms_latejoin_p50"] = round(fp_join_p50, 1)
-    if long_rtf is not None:
         extra["long_rtf_b8_m1024_kvint8"] = round(long_rtf, 2)
-    if prefill_ms is not None:
-        Tp = int(os.environ.get("BENCH_PREFILL_T", "2048"))
-        extra["prefill_ms_b4_t%d" % Tp] = round(prefill_ms, 1)
-        extra["prefill_dense_ms_b4_t%d" % Tp] = round(prefill_dense_ms, 1)
-        extra["prefill_flash_speedup"] = round(prefill_dense_ms / prefill_ms,
-                                               2)
+        REP.emit()
+
     _mark("done")
-    print(json.dumps({
-        "metric": "e2e_rtf_%s_batch%d%s" % (
-            os.environ.get("BENCH_MODEL", "1b7"), B,
-            "_int8" if quant == "int8" else ""),
-        "value": round(e2e_rtf, 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(e2e_rtf / 10.0, 3),
-        "extra": extra,
-    }))
+    REP._emitted_final = True
+    REP.extra.pop("truncated_at_s", None)
+    REP.emit()
 
 
 if __name__ == "__main__":

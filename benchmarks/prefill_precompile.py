@@ -81,4 +81,16 @@ if os.environ.get("PRE_DENSE", "1") == "1":
     log("compiling dense prefill")
     np.asarray(prefill_run(p_embeds, p_mask, allow_flash=False))
     log("dense compiled + ran")
+
+# record cache warmth: bench.py's prefill section only runs when this
+# marker exists (a cold Mosaic compile of the flash program killed round
+# 4's artifact at the driver's time budget)
+from bench import prefill_warm_marker  # noqa: E402
+
+marker = prefill_warm_marker(cfg, "int8", Bp, Tp)
+with open(marker, "w") as f:
+    import json
+
+    f.write(json.dumps({"at": time.time(), "by": "prefill_precompile"}))
+log(f"marker written: {marker}")
 log("DONE")

@@ -37,10 +37,15 @@ softmax/PV reduction per chunk; greedy codes can differ on near-ties.
 `talker_step_ref` implements the identical math in plain JAX for exact
 parity testing.
 
-Requires weight-only int8 params (`quantize_talker_params`) and a bf16
-(non-quantized) KV cache.  The attended window must be coverable by the
-chunking rule in `_pick_chunk` (any length when it equals the buffer,
-otherwise a multiple of 128 — the attend buckets are multiples of 256).
+Requires weight-only int8 params (`quantize_talker_params`).  The KV cache
+is bf16 by default; int8-KV mode (pass int8 caches plus fp32 per-(slot,
+head) `k_scale`/`v_scale`) folds the K scale into the scores and the V
+scale into the probabilities in-kernel (mxu attention only) — the
+measured-fastest long-generation config, auto-enabled by
+`GenerationConfig(kv_quant=True, fused_talker_step=True)`.  The attended
+window must be coverable by the chunking rule in `_pick_chunk` (any length
+when it equals the buffer, otherwise a multiple of the 128-slot chunk —
+the attend buckets are multiples of 256).
 """
 
 from __future__ import annotations
@@ -336,6 +341,12 @@ def talker_step_fused_cache(params: Dict[str, Any], cfg, embed: jax.Array,
     inter = mlp["gate_up_proj"]["weight"]["q"].shape[1] // 2
     S_buf = k_cache.shape[3]
     S = S_buf if attend_len is None else attend_len
+    if kv_chunk and kv_chunk % 128 != 0:
+        # a non-128-multiple chunk that happens to divide S would surface
+        # as an opaque Mosaic tiling failure — reject it with the contract
+        raise ValueError(
+            f"kv_chunk={kv_chunk} must be a multiple of 128 (KV chunks are "
+            "streamed in native (…, 128)-lane tiles)")
     picked = _pick_chunk(S, S_buf, kv_chunk)
     if picked is None:
         raise ValueError(

@@ -22,6 +22,7 @@ mini inference server (SURVEY.md §7 north star):
 
 from __future__ import annotations
 
+import time as _time
 from collections import deque
 from dataclasses import dataclass
 from functools import lru_cache, partial
@@ -782,6 +783,12 @@ class ContinuousBatchingEngine:
         # (row -> request id; the rid disambiguates chunk-aux invalidations
         # that refer to a PREVIOUS occupant of the row)
         self.staged_rows_busy: Dict[int, int] = {}
+        # rid -> chunks launched when its staging prefill was dispatched.
+        # A serve chunk can only contain a request's frames if it launched
+        # AFTER that staging call, so chunk i (launch index i) can hold rid
+        # iff staged_stamp[rid] <= i — the server's fast first-packet path
+        # gates its extract dispatch on this instead of probing every chunk
+        self._staged_stamp: Dict[int, int] = {}
         self.max_live_t = 0   # host mirror of max device t (exact per chunk)
         self._zero_rows = None   # device-resident padding entry for N-buckets
         self._tts_pad_dev = None
@@ -809,6 +816,14 @@ class ContinuousBatchingEngine:
         # order, during each chunk-aux sync — the text-level server layers
         # per-request vocoder packets on top of this (runtime/server.py)
         self.frame_sink = None
+        # per-request latency trace (host wall-clock): enable with
+        # trace_enabled=True; submit/staged/first_frame timestamps plus the
+        # chunk-launch stamp at staging (which in-flight chunks can contain
+        # the request's frames — serving gates its fast first-packet
+        # dispatch on this).  Entries are never auto-evicted; latency
+        # harnesses read + clear them (`trace.pop(rid)`)
+        self.trace_enabled = False
+        self.trace: Dict[int, Dict[str, float]] = {}
         # per-engine registry injectable so multiple engines (or an engine +
         # StreamingSession) don't interleave counters in one namespace
         from ..utils.metrics import global_metrics
@@ -884,6 +899,8 @@ class ContinuousBatchingEngine:
                     f"request sub-talker top_k={ssp.top_k} exceeds the "
                     f"engine's compiled candidate width top_k={Ks}")
         srow = sp.as_row()
+        if self.trace_enabled:
+            self.trace[req.request_id] = {"submit": _time.time()}
         self.pending.append((req.request_id, e, m, tr,
                              min(req.trailing_len, self.max_trailing), mf,
                              srow, ssp.as_row()))
@@ -911,6 +928,7 @@ class ContinuousBatchingEngine:
             return False
         self.frames_acc.pop(request_id, None)
         self.req_max_frames.pop(request_id, None)
+        self._staged_stamp.pop(request_id, None)
         if self._unprocessed:
             # chunks launched before this cancel may still mention the id;
             # quarantine it until they all sync (no in-flight chunks = no
@@ -951,6 +969,7 @@ class ContinuousBatchingEngine:
         meta = np.zeros((Nb, 5), np.int32)
         srows = np.zeros((Nb, 5), np.float32)
         ssrows = np.zeros((Nb, 5), np.float32)
+        now = _time.time() if self.trace_enabled else 0.0
         for i in range(Nb):
             if i < n:
                 rid, e, m, tr, tlen, mf, srow, ssrow = self.pending.popleft()
@@ -960,6 +979,9 @@ class ContinuousBatchingEngine:
                 self.frames_acc[rid] = []
                 self.req_max_frames[rid] = mf
                 self.staged_rows_busy[free_rows[i]] = rid
+                self._staged_stamp[rid] = self._chunks_launched
+                if self.trace_enabled:
+                    self.trace.setdefault(rid, {})["staged"] = now
             else:
                 e, m, tr = self._zero_rows
                 meta[i] = (-1, 0, 0, 0, 0)
@@ -1161,6 +1183,7 @@ class ContinuousBatchingEngine:
             self.cfg.num_code_groups, self.state.staged_valid.shape[0])
         completions: List[Completion] = []
         sink_frames: Dict[int, List[np.ndarray]] = {}
+        now = _time.time() if self.trace_enabled else 0.0
         order = np.argwhere(emit | finished)
         # attribute in tick order so multi-request slot reuse stays coherent
         for slot, t in sorted(order.tolist(), key=lambda st: (st[1], st[0])):
@@ -1168,12 +1191,16 @@ class ContinuousBatchingEngine:
             if rid in self._cancelled:   # late aux from pre-cancel chunks
                 continue
             if emit[slot, t]:
+                if self.trace_enabled and not self.frames_acc.get(rid):
+                    self.trace.setdefault(rid, {}).setdefault(
+                        "first_frame", now)
                 self.frames_acc[rid].append(frames[slot, t])
                 if self.frame_sink is not None:
                     sink_frames.setdefault(rid, []).append(frames[slot, t])
             if finished[slot, t]:
                 acc = self.frames_acc.pop(rid, [])
                 self.req_max_frames.pop(rid, None)
+                self._staged_stamp.pop(rid, None)
                 codes = (np.stack(acc) if acc
                          else np.zeros((0, self.cfg.num_code_groups), np.int64))
                 completions.append(Completion(rid, codes))
@@ -1200,6 +1227,19 @@ class ContinuousBatchingEngine:
         self.metrics.gauge("engine.slot_utilization",
                            float(emit.mean()) if emit.size else 0.0)
         return completions
+
+    def oldest_chunk_may_contain(self, request_id) -> bool:
+        """True if the OLDEST in-flight chunk can hold frames for this
+        request: the chunk launched after the request's staging prefill was
+        dispatched.  The server's fast first-packet path gates its extract
+        dispatch on this — a chunk launched before the request existed can
+        only return counts of 0 (wasted extract+vocode work plus one
+        serialized sync per step, ADVICE r4)."""
+        if not self._unprocessed:
+            return False
+        return self._staged_stamp.get(request_id,
+                                      self._chunks_launched + 1
+                                      ) <= self._chunks_synced
 
     def _remaining_upper(self) -> int:
         """Upper bound on frames still to generate across live requests

@@ -542,6 +542,7 @@ class TTSServer:
                     pcm16=self.output_dtype == "int16"))
             if self.output_dtype == "float32":
                 wav = wav.astype(np.float32)   # host upcast (bf16 vocoders)
+            now = None
             for i, (st, c, k) in enumerate(meta):
                 final = st.done and (self._pending(st) == k)
                 out.append(AudioPacket(
@@ -550,6 +551,14 @@ class TTSServer:
                     sample_rate=self.sample_rate,
                     frame_start=st.emitted, frame_count=k, final=final))
                 st.emitted += k
+                if not st.first_sent and self.engine.trace_enabled:
+                    if now is None:
+                        import time as _t
+                        now = _t.time()
+                    rid = self._by_user_id.get(st.request_id)
+                    if rid is not None:
+                        self.engine.trace.setdefault(rid, {}).setdefault(
+                            "first_packet", now)
                 st.first_sent = True
                 self.metrics.count("server.packets")
             # drop fully drained finished requests
@@ -602,6 +611,10 @@ class TTSServer:
                 frame_start=st.emitted, frame_count=k, final=final))
             st.emitted += k
             st.first_sent = True
+            if self.engine.trace_enabled:
+                import time as _t
+                self.engine.trace.setdefault(rid, {}).setdefault(
+                    "first_packet", _t.time())
             self.metrics.count("server.packets")
             self.metrics.count("server.fast_first_packets")
             if st.done and self._pending(st) == 0:
@@ -650,6 +663,27 @@ class TTSServer:
                 self.metrics.count("server.results")
         return results
 
+    def first_packet_trace(self, request_id) -> Optional[Dict[str, float]]:
+        """Per-request latency breakdown (host wall-clock timestamps) for a
+        request submitted while `engine.trace_enabled` was True: submit,
+        staged (staging prefill dispatched), first_frame (first frame
+        attributed from a chunk aux), first_packet (first AudioPacket
+        built).  Pops the trace entry; None if untraced.  The engine key
+        survives request completion (the user-id map is dropped on the
+        final packet), so this resolves by scanning trace entries too."""
+        rid = self._by_user_id.get(request_id)
+        if rid is not None:
+            return self.engine.trace.pop(rid, None)
+        # finished requests: their rid mapping is gone; find by insertion
+        # order is impossible without the rid, so callers should read the
+        # trace before the final packet — or we fall back to the newest
+        # entry that has a first_packet stamp (latency harness pattern:
+        # one traced join at a time)
+        for rid in sorted(self.engine.trace, reverse=True):
+            if "first_packet" in self.engine.trace[rid]:
+                return self.engine.trace.pop(rid)
+        return None
+
     # -- driving ---------------------------------------------------------
 
     def step(self) -> List[Union[AudioPacket, AudioResult]]:
@@ -672,9 +706,21 @@ class TTSServer:
         if waiting and self.engine._unprocessed:
             # on-device first-packet pipeline FIRST: its wav transfer then
             # overlaps the aux sync below instead of waiting for the host
-            # to rebuild + reupload the same codes
-            fast = (self._dispatch_fast_first(waiting_rids)
-                    if self.fast_first_packet else None)
+            # to rebuild + reupload the same codes.  Gated to rids that
+            # (a) need no reference context — clone streams with ctx0 > 0
+            # must vocode their first packet WITH the ref-code left context
+            # (the host path conditions the vocoder on it; ctx=0 would
+            # produce divergent first-packet audio) — and (b) can actually
+            # have frames in the oldest in-flight chunk (a chunk launched
+            # before the request's staging prefill can only return counts
+            # of 0: wasted extract+vocode work plus a serialized sync)
+            fast = None
+            if self.fast_first_packet:
+                fast_rids = [rid for rid in waiting_rids
+                             if self._states[rid].ctx0 == 0
+                             and self.engine.oldest_chunk_may_contain(rid)]
+                if fast_rids:
+                    fast = self._dispatch_fast_first(fast_rids)
             self.engine.stage_now()
             completions = self.engine.sync_in_flight()
             events.extend(self._finish_results(completions))
