@@ -84,6 +84,113 @@ def test_tokenizer_roundtrip_harness(tmp_path):
         assert np.isfinite(rep[k])
 
 
+def test_runner_asset_missing_paths(tmp_path, capsys):
+    """`python -m qwen3_tts_tpu.evaluation` with no assets: every suite
+    SKIPS with a reason in the table and the command still exits 0."""
+    from qwen3_tts_tpu.evaluation import main
+
+    out_json = tmp_path / "report.json"
+    rc = main(["--suite", "all", "--out", str(out_json)])
+    assert rc == 0
+    table = capsys.readouterr().out
+    assert "skipped" in table
+    import json
+
+    rep = json.loads(out_json.read_text())
+    assert rep["suites"] == {}
+    assert "tokenizer_roundtrip" in rep["skipped"]
+    assert "seed_tts" in rep["skipped"]
+    # bogus checkpoint path: reported, not raised
+    rc = main(["--ckpt", str(tmp_path / "nope"), "--suite", "seed-tts",
+               "--out", str(out_json)])
+    assert rc == 0
+    rep = json.loads(out_json.read_text())
+    assert "checkpoint" in rep["skipped"]
+
+
+@requires_reference
+def test_runner_tokenizer_suite_tiny_ckpt(tmp_path, capsys):
+    """Tokenizer suite end to end on the tiny fabricated checkpoint and a
+    tmp dir of wavs: real metric rows come out, PESQ/STOI degrade to
+    'unavailable' markers (packages absent in-image)."""
+    import json
+    import os
+
+    from qwen3_tts_tpu.evaluation import main
+    from qwen3_tts_tpu.utils.audio import write_wav
+    from tests._fixtures import make_tiny_checkpoint
+
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        write_wav(str(wav_dir / f"u{i}.wav"),
+                  (0.2 * rng.normal(size=24000)).astype(np.float32), 24000)
+
+    out_json = tmp_path / "report.json"
+    rc = main(["--tokenizer-ckpt", os.path.join(ckpt, "speech_tokenizer"),
+               "--suite", "tokenizer", "--wav-dir", str(wav_dir),
+               "--out", str(out_json)])
+    assert rc == 0
+    rep = json.loads(out_json.read_text())
+    agg = rep["suites"]["tokenizer_roundtrip"]
+    assert agg["n_utterances"] == 2
+    for k in ("snr_db", "si_sdr_db", "lsd_db", "mcd_db"):
+        assert np.isfinite(agg[k])
+    assert "unavailable" in str(agg["pesq_wb"])
+    table = capsys.readouterr().out
+    assert "tokenizer_roundtrip" in table
+
+
+@requires_reference
+def test_runner_seed_tts_suite_tiny_ckpt(tmp_path, monkeypatch):
+    """seed-tts suite on the tiny checkpoint with --asr none: synthesis
+    runs per manifest row; WER marked unavailable, SIM computed when a
+    ref_audio row and speaker encoder exist."""
+    import json
+
+    from qwen3_tts_tpu import evaluation
+    from qwen3_tts_tpu.evaluation import main
+    from qwen3_tts_tpu.utils.audio import write_wav
+    from tests._fixtures import make_tiny_checkpoint
+    from tests.test_inference_api import FakeTokenizer
+
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    # the tiny ckpt ships no AutoTokenizer asset; inject the fake one the
+    # API tests use so synthesis can run
+    from qwen3_tts_tpu.inference.model import Qwen3TTSModel
+
+    orig = Qwen3TTSModel.from_pretrained.__func__
+
+    def patched(cls, path, **kw):
+        m = orig(cls, path, **kw)
+        m.processor = FakeTokenizer()
+        return m
+
+    monkeypatch.setattr(Qwen3TTSModel, "from_pretrained",
+                        classmethod(patched))
+
+    ref = tmp_path / "ref.wav"
+    rng = np.random.default_rng(4)
+    write_wav(str(ref), (0.2 * rng.normal(size=24000)).astype(np.float32),
+              24000)
+    manifest = tmp_path / "eval.jsonl"
+    manifest.write_text(
+        json.dumps({"text": "hello world", "lang": "en",
+                    "ref_audio": str(ref)}) + "\n")
+
+    out_json = tmp_path / "report.json"
+    rc = main(["--ckpt", ckpt, "--suite", "seed-tts",
+               "--manifest", str(manifest), "--asr", "none",
+               "--max-new-tokens", "8", "--out", str(out_json)])
+    assert rc == 0
+    rep = json.loads(out_json.read_text())
+    suite = rep["suites"]["seed_tts"]
+    assert suite["n_utterances"] == 1
+    assert "unavailable" in str(suite["wer"])
+
+
 @requires_reference
 def test_tts_wer_harness(tmp_path):
     import jax.numpy as jnp
