@@ -378,6 +378,7 @@ def main():
     # ---- (c) engine-only serving + fused-vs-XLA A/B ----
     slots = int(os.environ.get("BENCH_SLOTS", "32"))
     frames_per = 50
+    serve_fused_step = fused_step   # replaced by the A/B winner below
     if (os.environ.get("BENCH_SERVING", "1") == "1"
             and REP.fits("engine_only", 120)):
         from qwen3_tts_tpu.runtime.batching import (ContinuousBatchingEngine,
@@ -431,7 +432,11 @@ def main():
         _mark(f"engine_only_rtf_{slots}slots={engine_rtf:.1f}")
         REP.emit()
         # same-window A/B against the other step implementation (fused needs
-        # int8 params; with int8 KV the XLA path serves the same config)
+        # int8 params; with int8 KV the XLA path serves the same config).
+        # The main row and the server rows below take the measured WINNER:
+        # kernel-vs-window drift is decided inside the artifact, per run
+        # (r4 lesson: the fused default regressed the driver-visible row
+        # while a different-window A/B claimed the opposite).
         if (quant == "int8" and _on_tpu
                 and os.environ.get("BENCH_ENGINE_AB", "1") == "1"
                 and REP.fits("engine_ab", 110)):
@@ -439,7 +444,16 @@ def main():
             extra["engine_only_rtf_" + ("xla" if fused_step else "fused")] = \
                 round(other, 2)
             _mark(f"engine-only A/B: other impl {other:.1f}")
+            if other > engine_rtf:
+                serve_fused_step = not fused_step
+                extra["engine_only_rtf_%dslots" % slots] = round(other, 2)
+            else:
+                serve_fused_step = fused_step
+            extra["engine_step_impl"] = ("fused" if serve_fused_step
+                                         else "xla")
             REP.emit()
+        else:
+            serve_fused_step = fused_step
 
     # ---- model + server builder (sections d/e/h/i) ----
     model = None
@@ -454,6 +468,9 @@ def main():
 
         # PCM16 delivery (the serving format): fp32 audio D2H at 2*slots
         # x 50 frames is ~25 MB — an entire second on this tunnel
+        kw.setdefault("overrides",
+                      {"fused_talker_step": serve_fused_step}
+                      if quant == "int8" and _on_tpu else None)
         return TTSServer(model, num_slots=n_slots,
                          max_new_tokens=max_new_tokens,
                          prefill_bucket=64, max_trailing=64,

@@ -192,6 +192,7 @@ class TTSServer:
                  output_dtype: str = "float32",
                  vocoder_device=None,
                  fast_first_packet: bool = True,
+                 defer_bulk_egress: bool = True,
                  **engine_kwargs):
         tok = model.speech_tokenizer
         if tok is None or tok.dec_params is None:
@@ -246,6 +247,17 @@ class TTSServer:
         # device-to-device bounce would cost more than it saves).
         self.fast_first_packet = bool(fast_first_packet) and \
             vocoder_device is None
+        # while any stream awaits its FIRST packet, steady-state streams'
+        # packet vocodes are deferred (unless their backlog exceeds
+        # 3*packet_frames): a bulk egress wave is ~num_slots*packet_frames
+        # frames of synchronous vocoder time (hundreds of ms of device
+        # queue) serialized onto the joiner's critical path, and steady
+        # consumers hold >= packet_frames of buffered audio so an
+        # occasionally late packet is jitter, not a stall.  This was the
+        # dominant term in late-join first-packet latency (r4 bench:
+        # staged->first_frame 754 ms of a 875 ms total).
+        self.defer_bulk_egress = bool(defer_bulk_egress)
+        self._defer_now = False
         self.num_slots = num_slots
         if output_dtype not in ("float32", "int16"):
             raise ValueError(f"unsupported output_dtype {output_dtype!r}")
@@ -486,7 +498,13 @@ class TTSServer:
         p = self._pending(st)
         if p <= 0:
             return False
-        return p >= self.packet_frames or not st.first_sent
+        if not st.first_sent:
+            return True
+        if self._defer_now:
+            # first packets are in flight: steady streams wait unless their
+            # backlog would outgrow the defer bound (see defer_bulk_egress)
+            return p >= 3 * self.packet_frames
+        return p >= self.packet_frames
 
     def _row_bucket(self, n: int) -> int:
         b = 1
@@ -702,6 +720,7 @@ class TTSServer:
             self.engine.tick_cap = (self.first_packet_ticks if waiting_rids
                                     else None)
         waiting = bool(waiting_rids)
+        self._defer_now = waiting and self.defer_bulk_egress
         events: List[Union[AudioPacket, AudioResult]] = []
         if waiting and self.engine._unprocessed:
             # on-device first-packet pipeline FIRST: its wav transfer then

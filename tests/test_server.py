@@ -306,6 +306,67 @@ def test_first_packet_tick_cap(cv_model):
         np.concatenate([p.wav for p in pkts_off]))
 
 
+def test_defer_bulk_egress_latency_order(cv_model):
+    """While a late joiner awaits its FIRST packet, steady streams' packet
+    vocodes are deferred (they hold >= packet_frames of buffered audio;
+    a bulk egress wave on the joiner's critical path was the dominant term
+    in late-join latency).  Deferral must be output-invariant: every stream
+    drains the identical audio with defer on or off; and with defer on, no
+    still-live steady stream emits a packet between the join's submission
+    and its first packet."""
+    from qwen3_tts_tpu.runtime.server import AudioPacket
+
+    def run(defer):
+        srv = _server(cv_model, num_slots=4, packet_frames=2,
+                      left_context=4, ticks_per_sync=8,
+                      defer_bulk_egress=defer)
+        for i in range(2):
+            srv.submit_custom_voice(f"bg{i}", text="steady background talk",
+                                    speaker="vivian", stream=True,
+                                    max_frames=40)
+        # steady state: both backgrounds streaming (first packets out)
+        first = set()
+        events = []
+        for _ in range(1000):
+            evs = srv.step()
+            events.extend(evs)
+            for ev in evs:
+                if isinstance(ev, AudioPacket) and ev.frame_count > 0:
+                    first.add(ev.request_id)
+            if {"bg0", "bg1"} <= first:
+                break
+        srv.submit_custom_voice("join", text="late joiner", speaker="vivian",
+                                stream=True, max_frames=8)
+        window = []   # events between join submit and join's first packet
+        for _ in range(1000):
+            evs = srv.step()
+            events.extend(evs)
+            window.extend(evs)
+            if any(isinstance(ev, AudioPacket) and ev.request_id == "join"
+                   and ev.frame_count > 0 for ev in evs):
+                break
+        live_bg = set(srv._by_user_id) & {"bg0", "bg1"}
+        events.extend(srv.run_until_drained())
+        audio = {}
+        for ev in events:
+            if isinstance(ev, AudioPacket):
+                audio.setdefault(ev.request_id, []).append(ev.wav)
+        return ({r: np.concatenate(w) for r, w in audio.items()},
+                window, live_bg)
+
+    audio_on, window_on, live_on = run(True)
+    audio_off, window_off, live_off = run(False)
+    # output-invariant: identical audio per stream either way
+    assert set(audio_on) == set(audio_off) == {"bg0", "bg1", "join"}
+    for rid in audio_on:
+        np.testing.assert_array_equal(audio_on[rid], audio_off[rid])
+    # with defer on, still-live steady streams stayed silent in the window
+    bulk_on = [ev for ev in window_on if isinstance(ev, AudioPacket)
+               and ev.request_id in live_on and ev.frame_count > 0
+               and not ev.final]
+    assert bulk_on == []
+
+
 def test_stream_cancel_frees_slot(cv_model):
     """Closing a ThreadedTTSServer stream generator cancels the request:
     the engine slot frees (a queued request then runs) and the surviving
