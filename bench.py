@@ -402,20 +402,21 @@ def main():
 
         n_req = 2 * slots
 
-        def engine_rtf_for(fused_step_flag, reps=2):
+        def engine_rtf_for(fused_step_flag, reps=2, n_slots=None):
+            n_slots = n_slots or slots
             engine = ContinuousBatchingEngine(
-                params, cfg, eng_cfg_for(fused_step_flag), num_slots=slots,
+                params, cfg, eng_cfg_for(fused_step_flag), num_slots=n_slots,
                 max_len=L + frames_per + 8, max_trailing=32, dtype=dtype,
                 ticks_per_sync=50, prefill_bucket=L, chunk_ramp=())
             label = "fused" if fused_step_flag else "xla"
-            _mark(f"engine-only warmup ({label})")
-            for i in range(slots):
+            _mark(f"engine-only warmup ({label}, {n_slots} slots)")
+            for i in range(n_slots):
                 engine.submit(make_eng_req(10_000 + i))
             engine.run_until_drained()
-            _mark(f"engine-only measured run ({label})")
+            _mark(f"engine-only measured run ({label}, {n_slots} slots)")
             best = 0.0
             for rep in range(reps):
-                for i in range(n_req):
+                for i in range(2 * n_slots):
                     engine.submit(make_eng_req(1000 * rep + i))
                 t0 = time.time()
                 done_e = engine.run_until_drained()
@@ -454,6 +455,15 @@ def main():
             REP.emit()
         else:
             serve_fused_step = fused_step
+        # 48-slot capacity point with the winning impl (slot-scaling curve
+        # for the driver artifact; see benchmarks/slot_scaling.py for the
+        # full sweep)
+        if (os.environ.get("BENCH_SLOTS48", "1") == "1"
+                and REP.fits("engine48", 100)):
+            rtf48 = engine_rtf_for(serve_fused_step, reps=1, n_slots=48)
+            extra["engine_only_rtf_48slots"] = round(rtf48, 2)
+            _mark(f"engine_only_rtf_48slots={rtf48:.1f}")
+            REP.emit()
 
     # ---- model + server builder (sections d/e/h/i) ----
     model = None
@@ -527,6 +537,18 @@ def main():
         # wav sync per emitting step), against the measured per-sync RTT
         extra["first_packet_load_aux_syncs"] = int(aux_syncs1 - aux_syncs0)
         extra["first_packet_load_steps"] = int(steps_to_first)
+        # per-phase host timers (p50 ms): where the first-packet wall goes
+        timings = srv.metrics.snapshot()["timings"]
+        extra["fp_load_phase_p50_ms"] = {
+            k.split(".", 1)[1]: round(v["p50"] * 1e3, 1)
+            for k, v in sorted(timings.items())
+            if k.startswith("server.") or k == "engine.aux_sync_s"}
+        # floor math: with the fast path the emitting step serializes ONE
+        # aux sync and ONE wav sync (wav D2H overlaps the aux sync, so the
+        # second costs its residual); everything else pipelines.
+        extra["first_packet_syncs"] = 2
+        extra["first_packet_floor_ms"] = round(
+            2 * extra["tunnel_rtt_ms"], 1)
         _mark(f"first_packet_p50_ms_load{slots_fp}={fp_load_p50:.1f} "
               f"(aux_syncs={extra['first_packet_load_aux_syncs']}, "
               f"rtt={extra['tunnel_rtt_ms']}ms)")
@@ -622,6 +644,11 @@ def main():
                 "staged_to_first_frame": med("staged", "first_frame"),
                 "first_frame_to_packet": med("first_frame", "first_packet"),
             }
+        timings = srv.metrics.snapshot()["timings"]
+        extra["latejoin_phase_p50_ms"] = {
+            k.split(".", 1)[1]: round(v["p50"] * 1e3, 1)
+            for k, v in sorted(timings.items())
+            if k.startswith("server.") or k == "engine.aux_sync_s"}
         _mark(f"first_packet_ms_latejoin_p50={fp_join_p50:.1f} "
               f"({', '.join('%.0f' % x for x in join_ms)}) "
               f"breakdown={extra.get('latejoin_breakdown_ms')}")

@@ -368,6 +368,14 @@ class TTSServer:
                       ref_code: Optional[np.ndarray],
                       max_frames: Optional[int], sampling=None,
                       sub_sampling=None) -> None:
+        with self.metrics.time("server.submit_s"):
+            self._submit_specs_timed(request_id, specs, stream, ref_code,
+                                     max_frames, sampling, sub_sampling)
+
+    def _submit_specs_timed(self, request_id, specs, stream: bool,
+                            ref_code: Optional[np.ndarray],
+                            max_frames: Optional[int], sampling=None,
+                            sub_sampling=None) -> None:
         from .prompts import build_prompt
 
         if request_id in self._by_user_id:
@@ -423,8 +431,9 @@ class TTSServer:
                             stream: bool = False,
                             max_frames: Optional[int] = None,
                             **sampling_kw) -> None:
-        specs = self.model._specs_custom_voice(
-            text, speaker, language, instruct, non_streaming=False)
+        with self.metrics.time("server.specs_s"):
+            specs = self.model._specs_custom_voice(
+                text, speaker, language, instruct, non_streaming=False)
         self._submit_specs(request_id, specs, stream, None, max_frames,
                            *self._sampling_overrides(**sampling_kw))
 
@@ -739,14 +748,18 @@ class TTSServer:
                              if self._states[rid].ctx0 == 0
                              and self.engine.oldest_chunk_may_contain(rid)]
                 if fast_rids:
-                    fast = self._dispatch_fast_first(fast_rids)
+                    with self.metrics.time("server.fast_dispatch_s"):
+                        fast = self._dispatch_fast_first(fast_rids)
             self.engine.stage_now()
-            completions = self.engine.sync_in_flight()
+            with self.metrics.time("server.latency_sync_s"):
+                completions = self.engine.sync_in_flight()
             events.extend(self._finish_results(completions))
             if fast is not None:
-                events.extend(self._emit_fast_first(*fast))
+                with self.metrics.time("server.emit_fast_s"):
+                    events.extend(self._emit_fast_first(*fast))
             events.extend(self._emit_packets())
-        completions = self.engine.step()
+        with self.metrics.time("server.engine_step_s"):
+            completions = self.engine.step()
         events.extend(self._finish_results(completions))
         events.extend(self._emit_packets())
         return events
