@@ -2,7 +2,9 @@
 
 Measures the BASELINE.md targets plus the serving/API surfaces (random
 weights — no released checkpoints exist in-image; the compute graph is the
-production one).  Sections, in priority order:
+production one).  Sections (lettered historically; they EXECUTE in budget
+priority order a, b, c, e, d, j, f, i, h, g so a driver timeout cuts the
+least important rows first):
 
   a) talker_decode_rtf   — batched talker decode loop only (prefill + per-
      frame talker step + nested 15-step sub-talker + sampling), B=32; plus
@@ -487,75 +489,8 @@ def main():
                          ticks_per_sync=25, seed=0,
                          output_dtype="int16", **kw)
 
-    # ---- (d) first-packet latency with every slot busy ----
-    slots_fp = int(os.environ.get("BENCH_FP_SLOTS", "16"))
-    if (os.environ.get("BENCH_SERVING", "1") == "1"
-            and REP.fits("fp_load", 110)):
-        from qwen3_tts_tpu.runtime.server import AudioPacket
-
-        srv = make_server(slots_fp)
-        _mark("streaming-load warmup")
-        # AOT warmup, as a production server does at startup: precompiles
-        # every serve-chunk attend bucket, the staging buckets, and the
-        # packet-egress vocoder shapes.  Without it the measurement pays
-        # multi-second program loads the first time a shape is hit.
-        srv.warmup()
-        for i in range(slots_fp):   # full wave: warms the 16-row staging +
-            srv.submit_custom_voice(f"warm{i}", text=text, speaker="vivian",
-                                    language="english", stream=True)
-        srv.run_until_drained()
-        _mark("streaming-load measured run")
-        aux_syncs0 = srv.metrics.snapshot()["timings"].get(
-            "engine.aux_sync_s", {}).get("count", 0)
-        aux_syncs1 = aux_syncs0
-        t_submit = {}
-        first_ms = {}
-        steps_to_first = 0
-        for i in range(slots_fp):
-            t_submit[i] = time.time()
-            srv.submit_custom_voice(i, text=text, speaker="vivian",
-                                    language="english", stream=True)
-        for _ in range(100000):
-            evs = srv.step()
-            if not first_ms:
-                steps_to_first += 1
-            for ev in evs:
-                if (isinstance(ev, AudioPacket)
-                        and ev.request_id not in first_ms
-                        and ev.frame_count > 0):
-                    first_ms[ev.request_id] = (
-                        time.time() - t_submit[ev.request_id]) * 1e3
-            if len(first_ms) == slots_fp:
-                aux_syncs1 = srv.metrics.snapshot()["timings"].get(
-                    "engine.aux_sync_s", {}).get("count", 0)
-            if not srv.busy:
-                break
-        fp_load_p50 = float(np.median(list(first_ms.values())))
-        extra["first_packet_p50_ms_load%d" % slots_fp] = round(fp_load_p50, 1)
-        # floor math: serialized syncs observed on the cohort's critical
-        # path (aux syncs until every first packet was out + the fast-path
-        # wav sync per emitting step), against the measured per-sync RTT
-        extra["first_packet_load_aux_syncs"] = int(aux_syncs1 - aux_syncs0)
-        extra["first_packet_load_steps"] = int(steps_to_first)
-        # per-phase host timers (p50 ms): where the first-packet wall goes
-        timings = srv.metrics.snapshot()["timings"]
-        extra["fp_load_phase_p50_ms"] = {
-            k.split(".", 1)[1]: round(v["p50"] * 1e3, 1)
-            for k, v in sorted(timings.items())
-            if k.startswith("server.") or k == "engine.aux_sync_s"}
-        # floor math: with the fast path the emitting step serializes ONE
-        # aux sync and ONE wav sync (wav D2H overlaps the aux sync, so the
-        # second costs its residual); everything else pipelines.
-        extra["first_packet_syncs"] = 2
-        extra["first_packet_floor_ms"] = round(
-            2 * extra["tunnel_rtt_ms"], 1)
-        _mark(f"first_packet_p50_ms_load{slots_fp}={fp_load_p50:.1f} "
-              f"(aux_syncs={extra['first_packet_load_aux_syncs']}, "
-              f"rtt={extra['tunnel_rtt_ms']}ms)")
-        srv.run_until_drained()
-        REP.emit()
-
     # ---- (e) late-joiner first packet with per-phase breakdown ----
+    slots_fp = int(os.environ.get("BENCH_FP_SLOTS", "16"))
     if (os.environ.get("BENCH_SERVING", "1") == "1"
             and REP.fits("latejoin", 170)):
         from qwen3_tts_tpu.runtime.server import AudioPacket
@@ -654,6 +589,105 @@ def main():
               f"breakdown={extra.get('latejoin_breakdown_ms')}")
         REP.emit()
 
+    # ---- (d) first-packet latency with every slot busy ----
+    if (os.environ.get("BENCH_SERVING", "1") == "1"
+            and REP.fits("fp_load", 110)):
+        from qwen3_tts_tpu.runtime.server import AudioPacket
+
+        srv = make_server(slots_fp)
+        _mark("streaming-load warmup")
+        # AOT warmup, as a production server does at startup: precompiles
+        # every serve-chunk attend bucket, the staging buckets, and the
+        # packet-egress vocoder shapes.  Without it the measurement pays
+        # multi-second program loads the first time a shape is hit.
+        srv.warmup()
+        for i in range(slots_fp):   # full wave: warms the 16-row staging +
+            srv.submit_custom_voice(f"warm{i}", text=text, speaker="vivian",
+                                    language="english", stream=True)
+        srv.run_until_drained()
+        _mark("streaming-load measured run")
+        aux_syncs0 = srv.metrics.snapshot()["timings"].get(
+            "engine.aux_sync_s", {}).get("count", 0)
+        aux_syncs1 = aux_syncs0
+        t_submit = {}
+        first_ms = {}
+        steps_to_first = 0
+        for i in range(slots_fp):
+            t_submit[i] = time.time()
+            srv.submit_custom_voice(i, text=text, speaker="vivian",
+                                    language="english", stream=True)
+        for _ in range(100000):
+            evs = srv.step()
+            if not first_ms:
+                steps_to_first += 1
+            for ev in evs:
+                if (isinstance(ev, AudioPacket)
+                        and ev.request_id not in first_ms
+                        and ev.frame_count > 0):
+                    first_ms[ev.request_id] = (
+                        time.time() - t_submit[ev.request_id]) * 1e3
+            if len(first_ms) == slots_fp:
+                aux_syncs1 = srv.metrics.snapshot()["timings"].get(
+                    "engine.aux_sync_s", {}).get("count", 0)
+            if not srv.busy:
+                break
+        fp_load_p50 = float(np.median(list(first_ms.values())))
+        extra["first_packet_p50_ms_load%d" % slots_fp] = round(fp_load_p50, 1)
+        # floor math: serialized syncs observed on the cohort's critical
+        # path (aux syncs until every first packet was out + the fast-path
+        # wav sync per emitting step), against the measured per-sync RTT
+        extra["first_packet_load_aux_syncs"] = int(aux_syncs1 - aux_syncs0)
+        extra["first_packet_load_steps"] = int(steps_to_first)
+        # per-phase host timers (p50 ms): where the first-packet wall goes
+        timings = srv.metrics.snapshot()["timings"]
+        extra["fp_load_phase_p50_ms"] = {
+            k.split(".", 1)[1]: round(v["p50"] * 1e3, 1)
+            for k, v in sorted(timings.items())
+            if k.startswith("server.") or k == "engine.aux_sync_s"}
+        # floor math: with the fast path the emitting step serializes ONE
+        # aux sync and ONE wav sync (wav D2H overlaps the aux sync, so the
+        # second costs its residual); everything else pipelines.
+        extra["first_packet_syncs"] = 2
+        extra["first_packet_floor_ms"] = round(
+            2 * extra["tunnel_rtt_ms"], 1)
+        _mark(f"first_packet_p50_ms_load{slots_fp}={fp_load_p50:.1f} "
+              f"(aux_syncs={extra['first_packet_load_aux_syncs']}, "
+              f"rtt={extra['tunnel_rtt_ms']}ms)")
+        srv.run_until_drained()
+        REP.emit()
+
+    # ---- (j) long generation: chunked path + int8 KV ----
+    if os.environ.get("BENCH_LONG", "1") == "1" and REP.fits("long", 220):
+        from qwen3_tts_tpu.runtime.generate import generate_frames_chunked
+
+        Bl = int(os.environ.get("BENCH_LONG_BATCH", "8"))
+        Ml = int(os.environ.get("BENCH_LONG_FRAMES", "1024"))
+        # best long config per benchmarks/long_gen_ab.py (int8 KV halves
+        # the dominant KV DMA; the fused kernel reads it directly)
+        long_cfg = GenerationConfig(
+            max_new_tokens=Ml, sampling=gen_cfg.sampling,
+            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
+            kv_quant=True, fused_talker_step=fused_step)
+        l_embeds = embeds[:Bl]
+        l_mask = mask[:Bl]
+        l_trailing = trailing[:Bl]
+
+        def long_run(key):
+            return generate_frames_chunked(params, cfg, long_cfg, l_embeds,
+                                           l_mask, l_trailing, pad, key)
+
+        _mark("long-generation warmup")
+        _sync(long_run(jax.random.PRNGKey(7)).codes)
+        _mark("long-generation measured run")
+        t0 = time.time()
+        lout = long_run(jax.random.PRNGKey(8))
+        _sync(lout.codes)
+        lwall = time.time() - t0
+        long_rtf = int(np.asarray(lout.lengths).sum()) * 0.08 / lwall
+        _mark(f"long_rtf={long_rtf:.1f}")
+        extra["long_rtf_b8_m1024_kvint8"] = round(long_rtf, 2)
+        REP.emit()
+
     # ---- (f) long prefill through the flash kernel route ----
     prefill_on = os.environ.get("BENCH_PREFILL", "1") == "1"
     Bp, Tp = 4, int(os.environ.get("BENCH_PREFILL_T", "2048"))
@@ -718,67 +752,6 @@ def main():
             extra["skipped_prefill"] = f"error:{type(e).__name__}"
         REP.emit()
 
-    # ---- (g) p50 first-packet latency, streaming session, B=1 ----
-    if REP.fits("fp_session", 150):
-        from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
-                                                     StreamingSession)
-
-        Bs, Ls = 1, 48
-        s_embeds = (0.02 * jax.random.normal(
-            rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
-        s_mask = jnp.ones((Bs, Ls), jnp.int32)
-        s_trailing = (0.02 * jax.random.normal(
-            rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
-        _mark("first-packet session")
-        # 16 frames suffice: the metric is the FIRST packet's latency; fewer
-        # chunk shapes = fewer one-time program loads on the remote service
-        fp_cfg = GenerationConfig(
-            max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
-            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-            kv_quant=kv_quant, fused_talker_step=fused_step)
-        session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
-                                   StreamingConfig())
-        iters = int(os.environ.get("BENCH_FP_ITERS", "5"))
-        latencies = []
-        for i in range(iters + 1):  # iter 0 = compile warmup
-            _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,
-                                          jax.random.PRNGKey(5 + i))
-            if i > 0:
-                latencies.append(first * 1000.0)
-        p50_ms = float(np.median(latencies))
-        _mark(f"first_packet_p50_ms={p50_ms:.1f}")
-        extra["first_packet_p50_ms"] = round(p50_ms, 1)
-        extra["first_packet_latencies_ms"] = [round(x, 1) for x in latencies]
-        extra["first_packet_vs_baseline"] = round(100.0 / p50_ms, 3)
-        REP.emit()
-
-    # ---- (h) API-path e2e: generate_custom_voice on the same shape ----
-    if os.environ.get("BENCH_API", "1") == "1" and REP.fits("api", 100):
-        texts = ["an api path benchmark sentence of ordinary length %02d" % i
-                 for i in range(B)]
-        api_kw = dict(text=texts, speaker="vivian", language="english",
-                      max_new_tokens=M, seed=0)
-        _mark("api-path warmup")
-        model.generate_custom_voice(**api_kw)
-
-        # patch decode delivery to PCM16 (same on-device conversion as the
-        # core path; fp32 would double the tunnel transfer)
-        tok = model.speech_tokenizer
-        orig_decode = tok.decode
-        tok.decode = lambda enc: orig_decode(enc, output_dtype="int16")
-        model.generate_custom_voice(**api_kw)   # warm the int16 program
-        _mark("api-path measured run")
-        t0 = time.time()
-        wavs, sr = model.generate_custom_voice(**api_kw)
-        api_wall = time.time() - t0
-        audio_s = sum(w.shape[0] for w in wavs) / sr
-        api_rtf = audio_s / api_wall
-        tok.decode = orig_decode
-        _mark(f"api_e2e_rtf={api_rtf:.1f}")
-        extra["api_e2e_rtf"] = round(api_rtf, 2)
-        extra["api_vs_core"] = round(api_rtf / e2e_rtf, 3)
-        REP.emit()
-
     # ---- (i) serving: text -> audio through TTSServer ----
     if (os.environ.get("BENCH_SERVING", "1") == "1"
             and REP.fits("serving", 110)):
@@ -815,36 +788,65 @@ def main():
         extra["serving_audio_mb"] = round(serving_audio_mb, 1)
         REP.emit()
 
-    # ---- (j) long generation: chunked path + int8 KV ----
-    if os.environ.get("BENCH_LONG", "1") == "1" and REP.fits("long", 300):
-        from qwen3_tts_tpu.runtime.generate import generate_frames_chunked
+    # ---- (h) API-path e2e: generate_custom_voice on the same shape ----
+    if os.environ.get("BENCH_API", "1") == "1" and REP.fits("api", 100):
+        texts = ["an api path benchmark sentence of ordinary length %02d" % i
+                 for i in range(B)]
+        api_kw = dict(text=texts, speaker="vivian", language="english",
+                      max_new_tokens=M, seed=0)
+        _mark("api-path warmup")
+        model.generate_custom_voice(**api_kw)
 
-        Bl = int(os.environ.get("BENCH_LONG_BATCH", "8"))
-        Ml = int(os.environ.get("BENCH_LONG_FRAMES", "1024"))
-        # best long config per benchmarks/long_gen_ab.py (int8 KV halves
-        # the dominant KV DMA; the fused kernel reads it directly)
-        long_cfg = GenerationConfig(
-            max_new_tokens=Ml, sampling=gen_cfg.sampling,
-            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-            kv_quant=True, fused_talker_step=fused_step)
-        l_embeds = embeds[:Bl]
-        l_mask = mask[:Bl]
-        l_trailing = trailing[:Bl]
-
-        def long_run(key):
-            return generate_frames_chunked(params, cfg, long_cfg, l_embeds,
-                                           l_mask, l_trailing, pad, key)
-
-        _mark("long-generation warmup")
-        _sync(long_run(jax.random.PRNGKey(7)).codes)
-        _mark("long-generation measured run")
+        # patch decode delivery to PCM16 (same on-device conversion as the
+        # core path; fp32 would double the tunnel transfer)
+        tok = model.speech_tokenizer
+        orig_decode = tok.decode
+        tok.decode = lambda enc: orig_decode(enc, output_dtype="int16")
+        model.generate_custom_voice(**api_kw)   # warm the int16 program
+        _mark("api-path measured run")
         t0 = time.time()
-        lout = long_run(jax.random.PRNGKey(8))
-        _sync(lout.codes)
-        lwall = time.time() - t0
-        long_rtf = int(np.asarray(lout.lengths).sum()) * 0.08 / lwall
-        _mark(f"long_rtf={long_rtf:.1f}")
-        extra["long_rtf_b8_m1024_kvint8"] = round(long_rtf, 2)
+        wavs, sr = model.generate_custom_voice(**api_kw)
+        api_wall = time.time() - t0
+        audio_s = sum(w.shape[0] for w in wavs) / sr
+        api_rtf = audio_s / api_wall
+        tok.decode = orig_decode
+        _mark(f"api_e2e_rtf={api_rtf:.1f}")
+        extra["api_e2e_rtf"] = round(api_rtf, 2)
+        extra["api_vs_core"] = round(api_rtf / e2e_rtf, 3)
+        REP.emit()
+
+    # ---- (g) p50 first-packet latency, streaming session, B=1 ----
+    if REP.fits("fp_session", 150):
+        from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
+                                                     StreamingSession)
+
+        Bs, Ls = 1, 48
+        s_embeds = (0.02 * jax.random.normal(
+            rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
+        s_mask = jnp.ones((Bs, Ls), jnp.int32)
+        s_trailing = (0.02 * jax.random.normal(
+            rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
+        _mark("first-packet session")
+        # 16 frames suffice: the metric is the FIRST packet's latency; fewer
+        # chunk shapes = fewer one-time program loads on the remote service
+        fp_cfg = GenerationConfig(
+            max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
+            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
+            kv_quant=kv_quant, fused_talker_step=fused_step)
+        session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
+                                   StreamingConfig())
+        iters = int(os.environ.get("BENCH_FP_ITERS", "5"))
+        latencies = []
+        for i in range(iters + 1):  # iter 0 = compile warmup
+            _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,
+                                          jax.random.PRNGKey(5 + i))
+            if i > 0:
+                latencies.append(first * 1000.0)
+        p50_ms = float(np.median(latencies))
+        _mark(f"first_packet_p50_ms={p50_ms:.1f}")
+        extra["first_packet_p50_ms"] = round(p50_ms, 1)
+        extra["first_packet_latencies_ms"] = [round(x, 1) for x in latencies]
+        extra["first_packet_vs_baseline"] = round(100.0 / p50_ms, 3)
         REP.emit()
 
     _mark("done")
