@@ -210,6 +210,46 @@ def prefill_warm_marker(cfg, quant: str, Bp: int, Tp: int) -> str:
     return os.path.join(CACHE_DIR, f".warm_{key}")
 
 
+def prefill_kernel_marker(cfg, Bp: int, Tp: int) -> str:
+    """Marker for the STANDALONE flash-vs-dense attention pair at this
+    shape — the fallback prefill row when the full 28-layer program's
+    compile keeps getting dropped by the remote service (broken pipe ~17-46
+    min in; the standalone kernel compiles in ~4-5 min and usually
+    survives)."""
+    key = (f"prefillkern_b{Bp}_t{Tp}_hq{cfg.num_attention_heads}"
+           f"_hkv{cfg.num_key_value_heads}_jax{jax.__version__}")
+    return os.path.join(CACHE_DIR, f".warm_{key}")
+
+
+def prefill_kernel_pair(cfg, Bp: int, Tp: int):
+    """(flash_fn, dense_fn) jitted over identical (q, k, v) at this shape —
+    the same attention contraction talker_prefill routes (flash kernel vs
+    dense masked attention), isolated from the 28-layer program."""
+    from functools import partial
+
+    from qwen3_tts_tpu.ops.attention import attention
+    from qwen3_tts_tpu.ops.pallas.prefill_attention import flash_prefill
+
+    start = jnp.zeros((Bp,), jnp.int32)
+
+    @jax.jit
+    def flash_fn(q, k, v):
+        return jnp.sum(flash_prefill(q, k, v, start).astype(jnp.float32))
+
+    # the dense route materializes the causal (B, Hkv, G, T, T) fp32 score
+    # tensor, exactly what talker_prefill's allow_flash=False path pays
+    neg = float(jnp.finfo(jnp.float32).min)
+    causal = jnp.where(
+        jnp.arange(Tp)[None, :] <= jnp.arange(Tp)[:, None], 0.0, neg
+    ).astype(jnp.float32)[None, None, :, :]
+
+    @jax.jit
+    def dense_fn(q, k, v):
+        return jnp.sum(attention(q, k, v, causal).astype(jnp.float32))
+
+    return flash_fn, dense_fn
+
+
 def main():
     from qwen3_tts_tpu.config import CodecV2DecoderConfig
     from qwen3_tts_tpu.models.codec12.decoder import (chunked_decode,
@@ -697,12 +737,47 @@ def main():
         # cold persistent cache: the flash route's Mosaic compile takes 25+
         # minutes on this image's remote compiler — run
         # benchmarks/prefill_precompile.py (off the bench clock) first
-        _mark("SKIP prefill: persistent cache not known-warm "
-              f"(marker {os.path.basename(marker)} absent); run "
-              "benchmarks/prefill_precompile.py")
-        extra["skipped_prefill"] = "cold_cache"
         prefill_on = False
-        REP.emit()
+        # fallback: the STANDALONE flash-vs-dense attention pair at the
+        # same shape (compiles in ~4-5 min, precompiled by the same
+        # script) — the kernel-level speedup lands in the artifact even
+        # when the remote service keeps dropping the 28-layer compile
+        kmarker = prefill_kernel_marker(cfg, Bp, Tp)
+        if os.path.exists(kmarker) and REP.fits("prefill_kernel", 90):
+            _mark("prefill kernel A/B (standalone flash vs dense)")
+            try:
+                flash_fn, dense_fn = prefill_kernel_pair(cfg, Bp, Tp)
+                dims_k = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                          cfg.resolved_head_dim)
+                kq = (0.02 * jax.random.normal(
+                    rng, (Bp, Tp, dims_k[0], dims_k[2]))).astype(dtype)
+                kk = (0.02 * jax.random.normal(
+                    jax.random.PRNGKey(21),
+                    (Bp, Tp, dims_k[1], dims_k[2]))).astype(dtype)
+                kv = (0.02 * jax.random.normal(
+                    jax.random.PRNGKey(22),
+                    (Bp, Tp, dims_k[1], dims_k[2]))).astype(dtype)
+                _sync(flash_fn(kq, kk, kv)); _sync(dense_fn(kq, kk, kv))
+                t0 = time.time(); _sync(flash_fn(kq, kk, kv))
+                t_flash = time.time() - t0
+                t0 = time.time(); _sync(dense_fn(kq, kk, kv))
+                t_dense = time.time() - t0
+                extra["prefill_kernel_ms_t%d" % Tp] = round(t_flash * 1e3, 1)
+                extra["prefill_flash_kernel_speedup"] = round(
+                    t_dense / t_flash, 2)
+                _mark(f"prefill_flash_kernel_speedup="
+                      f"{t_dense / t_flash:.2f} (flash {t_flash*1e3:.0f} ms,"
+                      f" dense {t_dense*1e3:.0f} ms)")
+            except Exception as exc:   # remote-compile flakiness
+                extra["skipped_prefill_kernel"] = f"{type(exc).__name__}"
+                _mark(f"prefill kernel A/B failed: {exc}")
+            REP.emit()
+        else:
+            _mark("SKIP prefill: persistent cache not known-warm "
+                  f"(marker {os.path.basename(marker)} absent); run "
+                  "benchmarks/prefill_precompile.py")
+            extra["skipped_prefill"] = "cold_cache"
+            REP.emit()
     if prefill_on and REP.fits("prefill", 100):
         from functools import partial
 

@@ -74,6 +74,29 @@ p_embeds = (0.02 * jax.random.normal(
     rng, (Bp, Tp, cfg.hidden_size))).astype(dtype)
 p_mask = jnp.ones((Bp, Tp), jnp.int32)
 
+# stage 1: the standalone flash-vs-dense attention pair (bench.py's
+# fallback prefill row) — ~4-5 min, far more likely to survive the flaky
+# remote transport than the 28-layer program below; its marker lands first
+from bench import prefill_kernel_marker, prefill_kernel_pair  # noqa: E402
+
+if os.environ.get("PRE_KERNEL", "1") == "1":
+    kmarker = prefill_kernel_marker(cfg, Bp, Tp)
+    if not os.path.exists(kmarker):
+        log(f"compiling standalone flash/dense attention pair T={Tp}")
+        flash_fn, dense_fn = prefill_kernel_pair(cfg, Bp, Tp)
+        kq = (0.02 * jax.random.normal(
+            rng, (Bp, Tp, cfg.num_attention_heads,
+                  cfg.resolved_head_dim))).astype(dtype)
+        kk = (0.02 * jax.random.normal(
+            jax.random.PRNGKey(21),
+            (Bp, Tp, cfg.num_key_value_heads,
+             cfg.resolved_head_dim))).astype(dtype)
+        np.asarray(flash_fn(kq, kk, kk))
+        np.asarray(dense_fn(kq, kk, kk))
+        with open(kmarker, "w") as f:
+            f.write('{"by": "prefill_precompile"}')
+        log(f"kernel pair compiled; marker written: {kmarker}")
+
 log(f"compiling flash prefill B={Bp} T={Tp}")
 np.asarray(prefill_run(p_embeds, p_mask))
 log("flash compiled + ran")
