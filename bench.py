@@ -536,9 +536,10 @@ def main():
         from qwen3_tts_tpu.runtime.server import AudioPacket
 
         # bg streams keep the engine mid-chunk (steady state, ramp
-        # exhausted); 6x50 frames outlive the joins while keeping the
-        # attend-bucket set (and its warmup loads) small
-        long_frames = 6 * frames_per
+        # exhausted); 3x50 frames outlive each join while keeping the
+        # attend-bucket set (and its warmup loads) small and the refill /
+        # end-of-stream-drain churn cheap
+        long_frames = 3 * frames_per
         srv = make_server(slots_fp, max_new_tokens=long_frames + 1)
         srv.warmup()   # long streams cross attend buckets mid-run
         srv.engine.trace_enabled = True

@@ -502,6 +502,17 @@ class TTSServer:
     def _due(self, st: _ReqState) -> bool:
         if not st.stream:
             return False
+        if self._defer_now and st.first_sent:
+            # first packets are in flight: steady streams wait unless their
+            # backlog would outgrow the defer bound (see defer_bulk_egress).
+            # DONE streams' end-of-stream drains defer too — a finished
+            # stream's whole (deferred) backlog is several packet waves of
+            # synchronous vocoder time, and its consumer already holds the
+            # rest of the utterance; the drain resumes on the next
+            # non-waiting step.  A done stream that never got a packet
+            # (first_sent False) stays due: its final (possibly empty)
+            # packet IS its first.
+            return self._pending(st) >= 3 * self.packet_frames
         if st.done:
             return True     # drain remainder (possibly an empty final packet)
         p = self._pending(st)
@@ -509,10 +520,6 @@ class TTSServer:
             return False
         if not st.first_sent:
             return True
-        if self._defer_now:
-            # first packets are in flight: steady streams wait unless their
-            # backlog would outgrow the defer bound (see defer_bulk_egress)
-            return p >= 3 * self.packet_frames
         return p >= self.packet_frames
 
     def _row_bucket(self, n: int) -> int:
