@@ -373,8 +373,10 @@ def main():
         "mfu": round(roof["mfu"], 4),
         "hbm_bw_util": round(roof["hbm_bw_util"], 4),
         "pct_of_dma_floor": round(roof["pct_of_dma_floor"], 4),
+        "pct_of_achievable_floor": round(roof["pct_of_achievable_floor"], 4),
         "tick_ms": round(roof["tick_ms"], 3),
         "dma_floor_ms": round(roof["dma_floor_ms"], 3),
+        "achievable_floor_ms": round(roof["achievable_floor_ms"], 3),
     })
 
     # ---- (b) end-to-end RTF: talker + full-size vocoder (HEADLINE) ----

@@ -152,14 +152,22 @@ def decode_roofline(cfg: TalkerConfig, batch: int, attend_len: int,
                                    kv_bytes=kv_bytes,
                                    fused_subtalker=fused_subtalker)
     t_floor = bytes_["total"] / peaks.hbm_bytes
+    # benchmarks/dma_peak.py (slope-timed): Mosaic's pipeline sustains
+    # ~700 GB/s on the talker-step kernel's exact fetch set (693-737
+    # measured; pure-stream 725-809 vs the 819 spec) — the ACHIEVABLE
+    # floor the kernel can actually be held to
+    achievable = _env("BENCH_ACHIEVABLE_GBPS", 700.0) * 1e9
+    t_ach = bytes_["total"] / achievable
     return {
         "flops_per_tick": float(flops),
         "bytes_per_tick": float(bytes_["total"]),
         "weight_bytes_per_tick": float(bytes_["weights"]),
         "kv_bytes_per_tick": float(bytes_["kv"]),
         "dma_floor_ms": t_floor * 1e3,
+        "achievable_floor_ms": t_ach * 1e3,
         "tick_ms": tick_seconds * 1e3,
         "mfu": flops / tick_seconds / peaks.bf16_flops,
         "hbm_bw_util": bytes_["total"] / tick_seconds / peaks.hbm_bytes,
         "pct_of_dma_floor": t_floor / tick_seconds,
+        "pct_of_achievable_floor": t_ach / tick_seconds,
     }
