@@ -522,9 +522,9 @@ def main():
 
         # PCM16 delivery (the serving format): fp32 audio D2H at 2*slots
         # x 50 frames is ~25 MB — an entire second on this tunnel
-        kw.setdefault("overrides",
-                      {"fused_talker_step": serve_fused_step}
-                      if quant == "int8" and _on_tpu else None)
+        # no fused_talker_step override: TTSServer's own default (XLA
+        # step — the latency-measured choice; see runtime/server.py)
+        # governs the server rows.  The engine-only row still A/Bs both.
         return TTSServer(model, num_slots=n_slots,
                          max_new_tokens=max_new_tokens,
                          prefill_bucket=64, max_trailing=64,
@@ -716,8 +716,13 @@ def main():
         l_trailing = trailing[:Bl]
 
         def long_run(key):
+            # attend_bucket=512 halves the distinct (chunk, attend) program
+            # count vs the 256 default: each program load is ~20 s on this
+            # remote service and the loads dominated the row's wall time
+            # (315 s warmup for a 5 s measured run)
             return generate_frames_chunked(params, cfg, long_cfg, l_embeds,
-                                           l_mask, l_trailing, pad, key)
+                                           l_mask, l_trailing, pad, key,
+                                           attend_bucket=512)
 
         _mark("long-generation warmup")
         _sync(long_run(jax.random.PRNGKey(7)).codes)

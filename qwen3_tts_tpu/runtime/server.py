@@ -202,11 +202,18 @@ class TTSServer:
         kw = model._merge_generate_kwargs(**(overrides or {}))
         if max_new_tokens is not None:
             kw["max_new_tokens"] = max_new_tokens
-        # the serving engine's serve step runs the fused talker megakernel
-        # too (runtime/batching.py _serve_step_core), so the model's
-        # fused_talker_step default (int8-on-TPU auto-enables it) carries
-        # straight into serving — the measured per-step kernel win
-        # (DESIGN.md §8f) reaches the layer that matters.
+        # The SERVER defaults the serve step to the XLA path, overriding
+        # the model's int8-on-TPU fused_talker_step auto-default: on the
+        # engine-only throughput row the two implementations trade wins
+        # within window noise (fused/xla across r5 windows: 135/192,
+        # 210/264, 161/167, 221/189), but on the server's latency surface
+        # the fused path consistently costs ~+350 ms late-join first
+        # packet (300 ms xla vs 665 ms fused, same-day windows) — the
+        # latency-ordered step is what a server sells.  Pass
+        # overrides={"fused_talker_step": True} to opt back in (e.g. a
+        # pure-throughput batch deployment).
+        if "fused_talker_step" not in (overrides or {}):
+            kw["fused_talker_step"] = False
         self.gen_cfg: GenerationConfig = model._generation_config(kw)
         self.dec_params = tok.dec_params
         self._decode_tok = tok

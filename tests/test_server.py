@@ -483,10 +483,11 @@ def test_server_vocoder_device_offload_matches(cv_model):
 
 
 def test_server_carries_fused_talker_step_into_engine(tmp_path, monkeypatch):
-    """The serving engine's serve step runs the fused talker megakernel too,
-    so a model whose int8-on-TPU auto default enables fused_talker_step must
-    carry the flag straight into the engine's gen_cfg (and a fused-layout
-    slot state) — the kernel's measured per-step win reaches serving."""
+    """TTSServer defaults the serve step to the XLA path even when the
+    model's int8-on-TPU auto default enables fused_talker_step (the fused
+    path measured ~+350 ms late-join first packet; the server is the
+    latency surface) — but an explicit overrides opt-in carries the kernel
+    into the engine's gen_cfg and a fused-layout slot state."""
     import jax.numpy as jnp
 
     import qwen3_tts_tpu.inference.model as model_mod
@@ -502,7 +503,11 @@ def test_server_carries_fused_talker_step_into_engine(tmp_path, monkeypatch):
     # the auto default enables the kernel on this model's generate path
     assert quant._generation_config(
         quant._merge_generate_kwargs()).fused_talker_step
-    srv = _server(quant)
+    # ... but the server's latency-measured default is the XLA step
+    srv_default = _server(quant)
+    assert srv_default.gen_cfg.fused_talker_step is False
+    # explicit opt-in (pure-throughput deployment) carries the kernel in
+    srv = _server(quant, overrides={"fused_talker_step": True})
     assert srv.gen_cfg.fused_talker_step is True
     assert srv.engine.max_len % 128 == 0      # kernel KV chunking
     # fused-layout cache: (L, B, Hkv, S, D)
