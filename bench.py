@@ -3,7 +3,7 @@
 Measures the BASELINE.md targets plus the serving/API surfaces (random
 weights — no released checkpoints exist in-image; the compute graph is the
 production one).  Sections (lettered historically; they EXECUTE in budget
-priority order a, b, c, e, d, j, f, i, h, g so a driver timeout cuts the
+priority order a, b, c, e, d, j, f, g, i, h so a driver timeout cuts the
 least important rows first):
 
   a) talker_decode_rtf   — batched talker decode loop only (prefill + per-
@@ -835,6 +835,40 @@ def main():
             extra["skipped_prefill"] = f"error:{type(e).__name__}"
         REP.emit()
 
+    # ---- (g) p50 first-packet latency, streaming session, B=1 ----
+    if REP.fits("fp_session", 150):
+        from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
+                                                     StreamingSession)
+
+        Bs, Ls = 1, 48
+        s_embeds = (0.02 * jax.random.normal(
+            rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
+        s_mask = jnp.ones((Bs, Ls), jnp.int32)
+        s_trailing = (0.02 * jax.random.normal(
+            rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
+        _mark("first-packet session")
+        # 16 frames suffice: the metric is the FIRST packet's latency; fewer
+        # chunk shapes = fewer one-time program loads on the remote service
+        fp_cfg = GenerationConfig(
+            max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
+            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
+            kv_quant=kv_quant, fused_talker_step=fused_step)
+        session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
+                                   StreamingConfig())
+        iters = int(os.environ.get("BENCH_FP_ITERS", "5"))
+        latencies = []
+        for i in range(iters + 1):  # iter 0 = compile warmup
+            _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,
+                                          jax.random.PRNGKey(5 + i))
+            if i > 0:
+                latencies.append(first * 1000.0)
+        p50_ms = float(np.median(latencies))
+        _mark(f"first_packet_p50_ms={p50_ms:.1f}")
+        extra["first_packet_p50_ms"] = round(p50_ms, 1)
+        extra["first_packet_latencies_ms"] = [round(x, 1) for x in latencies]
+        extra["first_packet_vs_baseline"] = round(100.0 / p50_ms, 3)
+        REP.emit()
+
     # ---- (i) serving: text -> audio through TTSServer ----
     if (os.environ.get("BENCH_SERVING", "1") == "1"
             and REP.fits("serving", 110)):
@@ -896,40 +930,6 @@ def main():
         _mark(f"api_e2e_rtf={api_rtf:.1f}")
         extra["api_e2e_rtf"] = round(api_rtf, 2)
         extra["api_vs_core"] = round(api_rtf / e2e_rtf, 3)
-        REP.emit()
-
-    # ---- (g) p50 first-packet latency, streaming session, B=1 ----
-    if REP.fits("fp_session", 150):
-        from qwen3_tts_tpu.runtime.streaming import (StreamingConfig,
-                                                     StreamingSession)
-
-        Bs, Ls = 1, 48
-        s_embeds = (0.02 * jax.random.normal(
-            rng, (Bs, Ls, cfg.hidden_size))).astype(dtype)
-        s_mask = jnp.ones((Bs, Ls), jnp.int32)
-        s_trailing = (0.02 * jax.random.normal(
-            rng, (Bs, 24, cfg.hidden_size))).astype(dtype)
-        _mark("first-packet session")
-        # 16 frames suffice: the metric is the FIRST packet's latency; fewer
-        # chunk shapes = fewer one-time program loads on the remote service
-        fp_cfg = GenerationConfig(
-            max_new_tokens=min(M, 16), sampling=gen_cfg.sampling,
-            subtalker=gen_cfg.subtalker, fused_subtalker=fused,
-            kv_quant=kv_quant, fused_talker_step=fused_step)
-        session = StreamingSession(params, cfg, fp_cfg, dec_params, dec_cfg,
-                                   StreamingConfig())
-        iters = int(os.environ.get("BENCH_FP_ITERS", "5"))
-        latencies = []
-        for i in range(iters + 1):  # iter 0 = compile warmup
-            _, first = session.synthesize(s_embeds, s_mask, s_trailing, pad,
-                                          jax.random.PRNGKey(5 + i))
-            if i > 0:
-                latencies.append(first * 1000.0)
-        p50_ms = float(np.median(latencies))
-        _mark(f"first_packet_p50_ms={p50_ms:.1f}")
-        extra["first_packet_p50_ms"] = round(p50_ms, 1)
-        extra["first_packet_latencies_ms"] = [round(x, 1) for x in latencies]
-        extra["first_packet_vs_baseline"] = round(100.0 / p50_ms, 3)
         REP.emit()
 
     _mark("done")
