@@ -752,6 +752,9 @@ def main():
         # when the remote service keeps dropping the 28-layer compile
         kmarker = prefill_kernel_marker(cfg, Bp, Tp)
         if os.path.exists(kmarker) and REP.fits("prefill_kernel", 90):
+            extra["prefill_full_route"] = (
+                "cold_cache: remote compiler dropped the 28-layer flash "
+                "program repeatedly (17-46 min in); kernel-level A/B below")
             _mark("prefill kernel A/B (standalone flash vs dense)")
             try:
                 flash_fn, dense_fn = prefill_kernel_pair(cfg, Bp, Tp)
