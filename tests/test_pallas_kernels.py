@@ -143,3 +143,43 @@ def test_talker_prefill_flash_path_matches_dense(monkeypatch):
         np.testing.assert_allclose(np.asarray(cache_f.k)[:, b, lo:T],
                                    np.asarray(cache_d.k)[:, b, lo:T],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_bench_prefill_kernel_pair_equivalence(monkeypatch):
+    """bench.py's fallback prefill row A/Bs `prefill_kernel_pair`'s flash
+    and dense functions — the comparison is only meaningful if both compute
+    the SAME causal attention (sum).  Verified in interpret mode at a tiny
+    shape."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    import bench
+    from qwen3_tts_tpu.ops.pallas import prefill_attention as pa
+
+    # route the pair's flash side through interpret mode on CPU
+    orig = pa.flash_prefill
+
+    def flash_interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pa, "flash_prefill", flash_interp)
+
+    from qwen3_tts_tpu.utils.testing import TALKER_1B7
+
+    cfg, Bp, Tp = TALKER_1B7, 2, 64
+    flash_fn, dense_fn = bench.prefill_kernel_pair(cfg, Bp, Tp)
+    rng = jax.random.PRNGKey(0)
+    q = (0.02 * jax.random.normal(
+        rng, (Bp, Tp, cfg.num_attention_heads,
+              cfg.resolved_head_dim))).astype(jnp.float32)
+    k = (0.02 * jax.random.normal(
+        jax.random.PRNGKey(1),
+        (Bp, Tp, cfg.num_key_value_heads,
+         cfg.resolved_head_dim))).astype(jnp.float32)
+    a = float(flash_fn(q, k, k))
+    b = float(dense_fn(q, k, k))
+    assert a == pytest.approx(b, rel=1e-5)
