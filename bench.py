@@ -444,8 +444,6 @@ def main():
                 trailing=jnp.zeros((1, 16, cfg.hidden_size), dtype),
                 trailing_len=16, tts_pad=pad, max_frames=frames_per)
 
-        n_req = 2 * slots
-
         def engine_rtf_for(fused_step_flag, reps=2, n_slots=None):
             n_slots = n_slots or slots
             engine = ContinuousBatchingEngine(
