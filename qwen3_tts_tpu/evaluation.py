@@ -294,6 +294,16 @@ def _try_pesq_stoi(ref: np.ndarray, deg: np.ndarray, sr: int
         out["stoi"] = float(_stoi(ref, deg, sr, extended=False))
     except ImportError:
         out["stoi"] = "unavailable (pystoi not installed)"
+    # UTMOS (BASELINE.md's fourth tokenizer column) needs the UTMOS22
+    # predictor model; score the degraded signal when a caller has made
+    # `utmos22_strong` importable, mark the column otherwise
+    try:
+        import utmos22_strong  # type: ignore
+
+        out["utmos"] = float(utmos22_strong.score(deg.astype(np.float32),
+                                                  sr))
+    except ImportError:
+        out["utmos"] = "unavailable (utmos22 model not installed)"
     return out
 
 
